@@ -1,0 +1,95 @@
+"""Scene-coordinate regression loss (reprojection + 3D regression, opt. MLE).
+
+Behavioral parity with `loss/coord.py:87-188` (constraints, soft/hard clamps,
+MLE uncertainty term, reduction), re-expressed as one pure jnp function that
+jits and differentiates cleanly — no host round trips, no data-dependent
+branches (the reference's `num_valid_sc.sum() > 0` python branch becomes a
+`where` mask).
+
+Layout is channels-last: predictions [B, H, W, 3], labels [B, H, W, 3].
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..geometry import invert_se3, pixel_grid
+from .common import reduce_loss, valid_label_mask
+
+
+class CoordLossConfig(NamedTuple):
+    """Hyper-parameters, defaults per `train_single_task.py:93-109`."""
+
+    min_depth: float = 0.1  # meters in front of the camera plane
+    soft_clamp: float = 100.0  # px: sqrt loss above this reprojection error
+    hard_clamp: float = 1000.0  # px: reprojection validity threshold
+    init_tolerance: float = 50.0  # m: regression-error validity threshold
+    nodata_value: float = -1.0
+    subsample: int = 8
+
+
+def scene_coords_loss(
+    scene_coords,
+    gt_coords,
+    gt_poses,
+    cam_mat,
+    uncertainty_map=None,
+    config: CoordLossConfig = CoordLossConfig(),
+    reduction: Optional[str] = "mean",
+):
+    """Compute the coord task loss.
+
+    scene_coords:    [B, H, W, 3] predicted world-frame coordinates.
+    gt_coords:       [B, H, W, 3] ground truth (nodata marked).
+    gt_poses:        [B, 4, 4] cam-to-world matrices.
+    cam_mat:         [3, 3] (shared across the batch, as in the reference).
+    uncertainty_map: [B, H, W, 1] positive sigma map, or None.
+    Returns (loss, valid_rate) matching `scene_coords_regression_loss`.
+    """
+    B, H, W, _ = scene_coords.shape
+    N = H * W
+    pred = scene_coords.reshape(B, N, 3)
+    gt = gt_coords.reshape(B, N, 3)
+
+    # world -> camera for both prediction and gt (`loss/coord.py:20-38`)
+    w2c = invert_se3(gt_poses)[:, 0:3, :]  # [B, 3, 4]
+    cam_pred = jnp.einsum("bij,bnj->bni", w2c[..., 0:3], pred) + w2c[..., None, :, 3]
+    cam_gt = jnp.einsum("bij,bnj->bni", w2c[..., 0:3], gt) + w2c[..., None, :, 3]
+    reg_error = jnp.linalg.norm(cam_pred - cam_gt, axis=-1)  # [B, N]
+
+    # reprojection error with min-depth clamp (`loss/coord.py:41-57`)
+    grid = pixel_grid(H, W, config.subsample, dtype=pred.dtype).reshape(N, 2)
+    proj = jnp.einsum("ij,bnj->bni", cam_mat, cam_pred)
+    z = jnp.maximum(proj[..., 2:3], config.min_depth)
+    repro = jnp.maximum(jnp.linalg.norm(proj[..., 0:2] / z - grid, axis=-1), 1e-7)
+
+    # validity constraints (`loss/coord.py:60-84`)
+    valid_gt = valid_label_mask(gt, config.nodata_value)  # [B, N]
+    invalid_min_depth = cam_pred[..., 2] < config.min_depth
+    invalid_repro = repro > config.hard_clamp
+    invalid_gt_distance = (reg_error > config.init_tolerance) & valid_gt
+    valid_sc = ~(invalid_min_depth | invalid_repro | invalid_gt_distance)
+
+    num_valid = jnp.sum(valid_sc)
+    valid_rate = num_valid / (B * N)
+
+    # soft-clamped reprojection term on valid pixels (`loss/coord.py:139-148`)
+    masked = repro * valid_sc
+    loss_l1 = jnp.maximum(masked * (masked <= config.soft_clamp), 1e-7)
+    sqrt_in = jnp.maximum(masked * (masked > config.soft_clamp), 1e-7)
+    loss_sqrt = jnp.maximum(jnp.sqrt(config.soft_clamp * sqrt_in + 1e-7), 1e-7)
+    loss_reproj = jnp.where(num_valid > 0, loss_l1 + loss_sqrt, 0.0)  # [B, N]
+
+    valid_gt_f = valid_gt.astype(pred.dtype)
+    if uncertainty_map is None:
+        per_pixel = reg_error * valid_gt_f + loss_reproj
+    else:
+        # MLE: 3 log(sigma) + e^2 / (2 sigma^2)  (`loss/coord.py:162-167`)
+        sigma = jnp.maximum(uncertainty_map.reshape(B, N), 1e-7)
+        e2 = jnp.maximum(jnp.square(reg_error), 1e-7)
+        loss_unc = 3.0 * jnp.log(sigma) + e2 / (2.0 * jnp.maximum(jnp.square(sigma), 1e-7))
+        per_pixel = loss_unc * valid_gt_f + loss_reproj
+
+    loss = reduce_loss(jnp.sum(per_pixel, axis=1), N, reduction)
+    return loss, valid_rate

@@ -1,0 +1,38 @@
+"""Model family: TransPose encoder/decoder FCNs (+MLR), vanilla DSAC* net."""
+from .layers import (
+    ConvGN,
+    DenseUpsamplingConv,
+    MLRConcatenator,
+    MLRSkip,
+    ResBlock,
+    bilinear_resize,
+    pixel_shuffle,
+)
+from .transpose_net import (
+    OUTPUT_SUBSAMPLE,
+    ProjHead,
+    TransPoseDecoder,
+    TransPoseEncoder,
+    TransPoseNet,
+    build_network,
+    task_channels,
+)
+from .vanilla import VanillaNetwork
+
+__all__ = [
+    "ConvGN",
+    "DenseUpsamplingConv",
+    "MLRConcatenator",
+    "MLRSkip",
+    "OUTPUT_SUBSAMPLE",
+    "ProjHead",
+    "ResBlock",
+    "TransPoseDecoder",
+    "TransPoseEncoder",
+    "TransPoseNet",
+    "VanillaNetwork",
+    "bilinear_resize",
+    "build_network",
+    "pixel_shuffle",
+    "task_channels",
+]

@@ -1,0 +1,130 @@
+"""Model-family tests: shapes, freezing semantics, heads, pixel shuffle."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crossloc_tpu import models
+
+
+def init_and_run(model, x, key=0):
+    params = model.init(jax.random.PRNGKey(key), x)
+    return params, model.apply(params, x)
+
+
+class TestTransPoseNet:
+    def test_coord_mle_shapes(self, rng):
+        net = models.build_network("coord", uncertainty="MLE", mean=[1.0, 2.0, 3.0])
+        x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), dtype=jnp.float32)
+        params, out = init_and_run(net, x)
+        assert out.shape == (2, 8, 12, 4)  # 3 task + 1 uncertainty, /8
+        unc = np.asarray(out[..., 3])
+        assert unc.min() >= 1e-7 and unc.max() <= 1e6 + 1
+
+    def test_mean_offset_applied(self, rng):
+        x = jnp.zeros((1, 32, 32, 3))
+        net0 = models.build_network("coord", mean=[0.0, 0.0, 0.0])
+        params = net0.init(jax.random.PRNGKey(0), x)
+        out0 = net0.apply(params, x)
+        # inject a different mean into the same params
+        p2 = jax.tree_util.tree_map(lambda a: a, params)
+        p2["params"]["decoder"]["mean"] = jnp.asarray([100.0, -50.0, 7.0])
+        out1 = net0.apply(p2, x)
+        np.testing.assert_allclose(
+            np.asarray(out1 - out0), np.broadcast_to([100.0, -50.0, 7.0], out0.shape),
+            atol=1e-4,
+        )
+
+    def test_task_channel_table(self):
+        assert models.task_channels("coord") == 3
+        assert models.task_channels("normal") == 2
+        assert models.task_channels("depth") == 1
+        assert models.task_channels("semantics") == 6
+
+    def test_fullsize_semantics(self, rng):
+        net = models.build_network("semantics", fullsize=True)
+        x = jnp.asarray(rng.normal(size=(1, 48, 72, 3)), dtype=jnp.float32)
+        _, out = init_and_run(net, x)
+        assert out.shape == (1, 48, 72, 6)
+
+    def test_mlr_composition_and_freezing(self, rng):
+        net = models.build_network("coord", uncertainty="MLE", num_mlr=3,
+                                   num_unfrozen_encoder=1)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        names = set(params["params"].keys())
+        assert {"mlr_encoder_1", "mlr_encoder_2", "mlr_encoder_3",
+                "mlr_skip", "mlr_norm", "mlr_forward", "decoder"} <= names
+        assert "encoder" not in names
+
+        def loss_fn(p):
+            return jnp.sum(net.apply({"params": p}, x) ** 2)
+
+        g = jax.grad(loss_fn)(params["params"])
+        g_frozen = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g["mlr_encoder_2"], 0.0
+        )
+        g_live = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g["mlr_encoder_1"], 0.0
+        )
+        g_dec = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g["decoder"], 0.0
+        )
+        assert g_frozen == 0.0  # stop_gradient freezing
+        assert g_live > 0.0 and g_dec > 0.0
+
+    def test_mean_never_trains(self, rng):
+        net = models.build_network("coord", mean=[1.0, 2.0, 3.0])
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: jnp.sum(net.apply({"params": p}, x)))(params["params"])
+        assert float(jnp.sum(jnp.abs(g["decoder"]["mean"]))) == 0.0
+
+    def test_tiny_variant(self, rng):
+        net = models.build_network("depth", tiny=True)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), dtype=jnp.float32)
+        params, out = init_and_run(net, x)
+        assert out.shape == (1, 4, 4, 1)
+        # tiny: no res2_skip layer in the encoder
+        assert "res2_skip" not in params["params"]["encoder"]
+
+
+class TestVanillaNetwork:
+    def test_shapes_and_mean(self, rng):
+        net = models.VanillaNetwork(mean_init=[10.0, 20.0, 30.0])
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 1)), dtype=jnp.float32)
+        params, out = init_and_run(net, x)
+        assert out.shape == (1, 8, 8, 3)
+
+
+class TestProjHead:
+    def test_vector_output(self, rng):
+        head = models.ProjHead(out_length=256)
+        x = jnp.asarray(rng.normal(size=(2, 60, 90, 512)), dtype=jnp.float32)
+        _, out = init_and_run(head, x)
+        assert out.shape == (2, 256)
+
+
+class TestPixelShuffle:
+    def test_matches_torch_semantics(self, rng):
+        import torch
+
+        x = rng.normal(size=(2, 3, 4, 2 * 2 * 5)).astype(np.float32)
+        ours = np.asarray(models.pixel_shuffle(jnp.asarray(x), 2))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+        theirs = torch.pixel_shuffle(xt, 2).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=0)
+
+    def test_bilinear_resize_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        x = rng.normal(size=(1, 6, 8, 3)).astype(np.float32)
+        ours = np.asarray(models.bilinear_resize(jnp.asarray(x), 13, 17))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        theirs = (
+            F.interpolate(xt, (13, 17), mode="bilinear", align_corners=False)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)

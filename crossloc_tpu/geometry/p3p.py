@@ -21,6 +21,29 @@ from .se3 import orthonormalize
 _EPS = 1e-12
 
 
+def _safe_sqrt(x, eps=1e-12):
+    """sqrt with finite gradient everywhere (sqrt' blows up at 0, and a
+    clamped-to-zero argument under `where` poisons autodiff with NaN)."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
+def _safe_cbrt(x, eps=1e-12):
+    """Signed cube root with zero (not inf) gradient in the dead zone."""
+    ax = jnp.maximum(jnp.abs(x), eps)
+    return jnp.sign(x) * ax ** (1.0 / 3.0)
+
+
+def _det3(A):
+    """Explicit 3x3 determinant (cofactor expansion). jnp.linalg.det's VJP
+    is det(A) inv(A)^T = 0 * inf = NaN for singular matrices — guaranteed to
+    occur when a minimal set samples duplicate points."""
+    return (
+        A[..., 0, 0] * (A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1])
+        - A[..., 0, 1] * (A[..., 1, 0] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 0])
+        + A[..., 0, 2] * (A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0])
+    )
+
+
 def _solve_cubic_real(c3, c2, c1, c0):
     """One real root of c3 x^3 + c2 x^2 + c1 x + c0, branch-free.
 
@@ -38,13 +61,13 @@ def _solve_cubic_real(c3, c2, c1, c0):
     disc = (q * q) / 4.0 + (p**3) / 27.0
 
     # Cardano branch (disc > 0): one real root
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t_card = jnp.cbrt(-q / 2.0 + sq) + jnp.cbrt(-q / 2.0 - sq)
+    sq = _safe_sqrt(disc)
+    t_card = _safe_cbrt(-q / 2.0 + sq) + _safe_cbrt(-q / 2.0 - sq)
 
     # trig branch (disc <= 0, p < 0): three real roots; take k=0
     pm = jnp.minimum(p, -_EPS)
     r = jnp.sqrt(-pm / 3.0)
-    arg = jnp.clip(3.0 * q / (2.0 * pm) * jnp.sqrt(-3.0 / pm), -1.0, 1.0)
+    arg = jnp.clip(3.0 * q / (2.0 * pm) * jnp.sqrt(-3.0 / pm), -1.0 + 1e-7, 1.0 - 1e-7)
     t_trig = 2.0 * r * jnp.cos(jnp.arccos(arg) / 3.0)
 
     t = jnp.where(disc > 0.0, t_card, t_trig)
@@ -68,11 +91,11 @@ def _null_like_eigvec(A):
     cands = jnp.stack(
         [jnp.cross(r0, r1), jnp.cross(r0, r2), jnp.cross(r1, r2)], axis=-2
     )  # [..., 3, 3]
-    norms = jnp.linalg.norm(cands, axis=-1)  # [..., 3]
+    norms = _safe_sqrt(jnp.sum(cands * cands, axis=-1))  # [..., 3]
     idx = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(cands, idx[..., None, None].repeat(3, axis=-1), axis=-2)[..., 0, :]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.maximum(n, _EPS)
+    n = _safe_sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / n
 
 
 def _eig3x3_known0(D0):
@@ -91,7 +114,7 @@ def _eig3x3_known0(D0):
         + D0[..., 1, 1] * D0[..., 2, 2]
         - D0[..., 1, 2] * D0[..., 2, 1]
     )
-    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * m, 0.0))
+    disc = _safe_sqrt(tr * tr - 4.0 * m)
     sigma1 = (tr + disc) * 0.5
     sigma2 = (tr - disc) * 0.5
     eye = jnp.eye(3, dtype=D0.dtype)
@@ -142,10 +165,10 @@ def p3p_lambdatwist(X, y):
     D2 = M13 * a23[..., None, None] - M23 * a13[..., None, None]
 
     # cubic coefficients of det(D1 + g D2) via evaluation at g in {0,1,-1,2}
-    d0 = jnp.linalg.det(D1)
-    d1 = jnp.linalg.det(D1 + D2)
-    dm1 = jnp.linalg.det(D1 - D2)
-    d2 = jnp.linalg.det(D1 + 2.0 * D2)
+    d0 = _det3(D1)
+    d1 = _det3(D1 + D2)
+    dm1 = _det3(D1 - D2)
+    d2 = _det3(D1 + 2.0 * D2)
     c0 = d0
     c2 = (d1 + dm1) / 2.0 - c0
     # d1 = c3 + c2 + c1 + c0 ; d2 = 8 c3 + 4 c2 + 2 c1 + c0
@@ -159,7 +182,7 @@ def p3p_lambdatwist(X, y):
 
     sigma1, sigma2, u1, u2, u3 = _eig3x3_known0(D0)
     sig_ok = (sigma1 > _EPS) & (sigma2 < -_EPS)
-    s = jnp.sqrt(jnp.maximum(-sigma2 / jnp.maximum(sigma1, _EPS), 0.0))
+    s = _safe_sqrt(-sigma2 / jnp.maximum(sigma1, _EPS))
 
     # four candidates: sign in {+, -} x quadratic root in {0, 1}
     signs = jnp.stack([s, s, -s, -s], axis=-1)  # [..., 4]
@@ -172,7 +195,7 @@ def p3p_lambdatwist(X, y):
 
     qdisc = B * B - 4.0 * A * C  # [..., 4]
     quad_ok = qdisc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(qdisc, 0.0))
+    sq = _safe_sqrt(qdisc)
     # numerically stable roots: q = -(B + sign(B)*sq)/2 -> roots q/A and C/q
     sgnB = jnp.where(B >= 0.0, 1.0, -1.0)
     qq = -(B + sgnB * sq) / 2.0
@@ -187,10 +210,22 @@ def p3p_lambdatwist(X, y):
     # scale from the inhomogeneous constraint lambda^T M12 lambda = a12
     dMd = jnp.einsum("...ki,...ij,...kj->...k", d, M12, d)  # [..., 4]
     scale_ok = dMd > _EPS
-    scale = jnp.sqrt(a12[..., None] / jnp.maximum(dMd, _EPS))
+    scale = _safe_sqrt(a12[..., None] / jnp.maximum(dMd, _EPS))
     lam = d * scale[..., None]
     # flip so that lambda_1 > 0
     lam = lam * jnp.where(lam[..., 0:1] < 0.0, -1.0, 1.0)
+
+    # Sanitize invalid candidates NOW: degenerate branches can carry huge /
+    # non-finite lambdas whose downstream overflow (cross products, Newton
+    # steps) produces NaN *gradients* even though the candidates are masked
+    # out — a zero cotangent times a NaN partial is still NaN. Replacing the
+    # triplet keeps every forward value (and thus every partial) finite.
+    lam_sane = (
+        jnp.all(jnp.isfinite(lam), axis=-1)
+        & jnp.all(lam > _EPS, axis=-1)
+        & jnp.all(lam < 1e7, axis=-1)
+    )
+    lam = jnp.where(lam_sane[..., None], lam, 1.0)
 
     # Gauss-Newton polish of the depth triplet (3 iterations, 3x3 solve)
     b12e, b13e, b23e = b12[..., None], b13[..., None], b23[..., None]
@@ -210,12 +245,31 @@ def p3p_lambdatwist(X, y):
             ],
             axis=-2,
         )  # [..., 4, 3, 3]
-        JtJ = jnp.einsum("...ki,...kj->...ij", J, J) + 1e-9 * jnp.eye(3, dtype=dtype)
+        damp = 1e-9 + 1e-6 * (
+            J[..., 0, 0] ** 2 + J[..., 1, 1] ** 2 + J[..., 2, 2] ** 2
+        )
+        JtJ = jnp.einsum("...ki,...kj->...ij", J, J) + damp[..., None, None] * jnp.eye(
+            3, dtype=dtype
+        )
         Jtr = jnp.einsum("...ki,...k->...i", J, res)
-        step = jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
-        lam = lam - jnp.where(jnp.isfinite(step), step, 0.0)
+        # explicit adjugate solve: jnp.linalg.solve's LU backward emits NaN
+        # partials on (near-)singular systems from degenerate candidates,
+        # which poison the whole gradient even though those candidates are
+        # masked out downstream (0 * NaN = NaN in the VJP)
+        detJ = _det3(JtJ)
+        r0, r1, r2 = JtJ[..., 0, :], JtJ[..., 1, :], JtJ[..., 2, :]
+        adjT = jnp.stack(
+            [jnp.cross(r1, r2), jnp.cross(r2, r0), jnp.cross(r0, r1)], axis=-1
+        )  # = adj(JtJ) for symmetric JtJ
+        solvable = jnp.abs(detJ) > 1e-9
+        det_s = jnp.where(solvable, detJ, 1.0)
+        step = jnp.einsum("...ij,...j->...i", adjT, Jtr) / det_s[..., None]
+        step = jnp.clip(step, -1e5, 1e5)
+        lam = jnp.where((lam_sane & solvable)[..., None], lam - step, lam)
+        lam = jnp.clip(lam, -1e6, 1e6)
 
-    lam_ok = jnp.all(lam > _EPS, axis=-1)
+    lam = jnp.clip(lam, -1e7, 1e7)  # polish may still step far on bad sets
+    lam_ok = lam_sane & jnp.all(lam > _EPS, axis=-1)
 
     # pose assembly from camera-frame points z_i = lambda_i y_i
     zc = lam[..., :, None] * y[..., None, :, :]  # [..., 4, 3, 3] rows = points
@@ -232,16 +286,28 @@ def p3p_lambdatwist(X, y):
         axis=-1,
     )  # [..., 4, 3, 3] columns
 
-    detX = jnp.linalg.det(Xm)
+    detX = _det3(Xm)
     geom_ok = jnp.abs(detX) > 1e-10
     Xm_safe = jnp.where(geom_ok[..., None, None], Xm, jnp.eye(3, dtype=dtype))
-    R = Zm @ jnp.linalg.inv(Xm_safe)
+    adj = jnp.stack(
+        [
+            jnp.cross(Xm_safe[..., :, 1], Xm_safe[..., :, 2], axis=-1),
+            jnp.cross(Xm_safe[..., :, 2], Xm_safe[..., :, 0], axis=-1),
+            jnp.cross(Xm_safe[..., :, 0], Xm_safe[..., :, 1], axis=-1),
+        ],
+        axis=-2,
+    )  # rows of inv * det (adjugate of the column matrix)
+    det_safe = jnp.where(geom_ok, detX, 1.0)
+    R = Zm @ (adj / det_safe[..., None, None])
+    # valid rotations have entries in [-1, 1]; the clip only bites degenerate
+    # candidates and keeps the Newton orthonormalization from overflowing
+    R = jnp.clip(R, -3.0, 3.0)
     R = orthonormalize(R, iters=2)
     # translation: average over the three correspondences
     t = jnp.mean(zc - jnp.einsum("...ij,...nj->...ni", R, X[..., None, :, :]), axis=-2)
 
     finite = jnp.all(jnp.isfinite(R), axis=(-1, -2)) & jnp.all(jnp.isfinite(t), axis=-1)
-    rot_ok = jnp.abs(jnp.linalg.det(R) - 1.0) < 0.1
+    rot_ok = jnp.abs(_det3(R) - 1.0) < 0.1
     valid = sig_ok[..., None] & quad_ok & scale_ok & lam_ok & geom_ok & finite & rot_ok
     return R, t, valid
 
@@ -254,7 +320,7 @@ def bearings_from_pixels(pixels, cam_mat):
     x = (pixels[..., 0] - cx[..., None]) / f[..., None]
     y = (pixels[..., 1] - cy[..., None]) / f[..., None]
     v = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / _safe_sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
 
 
 def p3p_from_4pts(X4, pix4, cam_mat):
@@ -276,7 +342,8 @@ def p3p_from_4pts(X4, pix4, cam_mat):
     behind = jnp.any(Xc[..., 2] <= 1e-6, axis=-1)
     proj = jnp.einsum("...ij,...knj->...kni", cam_mat, Xc)
     proj = proj[..., 0:2] / jnp.maximum(proj[..., 2:3], 1e-6)
-    err = jnp.linalg.norm(proj - pix4[..., None, :, :], axis=-1)  # [..., 4cand, 4pt]
+    diff = proj - pix4[..., None, :, :]
+    err = _safe_sqrt(jnp.sum(diff * diff, axis=-1))  # [..., 4cand, 4pt]
     max_err = jnp.max(err, axis=-1)  # [..., 4cand]
     valid = valid & ~behind
     max_err = jnp.where(valid, max_err, jnp.inf)

@@ -66,13 +66,13 @@ def inverse_rodrigues(R):
         ],
         axis=-1,
     )
-    sin_t = 0.5 * jnp.linalg.norm(w, axis=-1)
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-24)  # NaN-grad-safe
     theta = jnp.arctan2(sin_t, cos_t)
     generic = w * (theta / jnp.maximum(2.0 * sin_t, _EPS))[..., None]
 
     # near-pi case: axis from diagonal of (R + I) / 2 = aa^T for theta=pi
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis2 = jnp.maximum((diag + 1.0) * 0.5, 0.0)
+    axis2 = jnp.maximum((diag + 1.0) * 0.5, 1e-12)  # floor: sqrt'(0) is inf
     axis = jnp.sqrt(axis2)
     # fix signs using off-diagonal sums: sign(a_i a_j) = sign(R_ij + R_ji)
     # anchor the largest component positive

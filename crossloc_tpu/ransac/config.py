@@ -1,0 +1,35 @@
+"""RANSAC solver configuration.
+
+Defaults mirror the reference evaluation setup (`test_single_task.py:76-89`,
+`utils/evaluation.py:161-172`): 64 hypotheses, inlier tau = 10 px,
+alpha = 100, max pixel error = 100, subsample 8. The unbounded retry /
+convergence loops of the C++ plugin (`dsacstar.cpp:47-48`,
+`dsacstar_util.h:540-563`) become static-shape equivalents:
+`sample_rounds` masked retry rounds and `refine_steps` fixed refinement
+iterations with monotone inlier-count acceptance.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+
+class RansacConfig(NamedTuple):
+    hypotheses: int = 64  # RANSAC pool size (reference: "hypotheses")
+    inlier_threshold: float = 10.0  # px, tau
+    inlier_alpha: float = 100.0  # soft inlier count scale
+    max_pixel_error: float = 100.0  # reprojection clamp (maxReproj)
+    subsample: int = 8  # prediction grid stride
+    sample_rounds: int = 16  # static retry rounds per hypothesis
+    refine_steps: int = 8  # outer refine iterations (inlier recompute)
+    gn_iters: int = 3  # Gauss-Newton steps per refine iteration
+    gn_damping: float = 1e-4  # Levenberg damping added to J^T J
+    train_refine_steps: int = 4  # cheaper refinement inside the DSAC loss
+
+
+class PoseLossConfig(NamedTuple):
+    """Pose loss weights (`dsacstar_loss.h:67-85` defaults)."""
+
+    w_rot: float = 1.0  # per degree
+    w_trans: float = 1.0  # per meter
+    soft_clamp: float = 100.0  # sqrt clamp above this ("cut")
+    max_loss: float = 1.0e7  # MAXLOSS

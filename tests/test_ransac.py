@@ -1,0 +1,172 @@
+"""GT-oracle tests for the differentiable RANSAC solver (SURVEY.md §4):
+synthesize exact scene-coordinate maps from known poses and require the full
+jit solver to recover them — exercises sampling, scoring, selection and
+refinement without any dataset.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crossloc_tpu import geometry as geo
+from crossloc_tpu import ransac
+
+IMG_H, IMG_W = 480, 720
+FOCAL = 500.0
+HS, WS = 30, 45  # subsampled prediction grid (small for CPU test speed)
+
+
+def synth_scene(rng, B=2, noise=0.0, outlier_frac=0.0):
+    """Exact scene coordinates by backprojecting the prediction grid."""
+    K = np.asarray(geo.intrinsics(FOCAL, IMG_W, IMG_H))
+    grid = np.asarray(geo.pixel_grid(HS, WS, 8)).reshape(-1, 2)
+    N = grid.shape[0]
+    coords, poses = [], []
+    for _ in range(B):
+        rvec = rng.normal(size=3) * 0.6
+        R = np.asarray(geo.rodrigues(jnp.asarray(rvec)))
+        t = rng.normal(size=3) * 20 + np.array([0, 0, 100.0])
+        depth = rng.uniform(30.0, 300.0, size=N)
+        cam_pts = np.asarray(
+            geo.backproject(jnp.asarray(grid), jnp.asarray(depth), jnp.asarray(K))
+        )
+        world = cam_pts @ R.T + t  # cam-to-world
+        if noise > 0:
+            world = world + rng.normal(size=world.shape) * noise
+        if outlier_frac > 0:
+            n_out = int(N * outlier_frac)
+            sel = rng.choice(N, n_out, replace=False)
+            world[sel] += rng.uniform(-200, 200, size=(n_out, 3))
+        c2w = np.eye(4)
+        c2w[:3, :3] = R
+        c2w[:3, 3] = t
+        coords.append(world.reshape(HS, WS, 3))
+        poses.append(c2w)
+    return (
+        jnp.asarray(np.stack(coords), dtype=jnp.float32),
+        jnp.asarray(np.stack(poses), dtype=jnp.float32),
+    )
+
+
+def pose_errors(est_c2w, gt_c2w):
+    t_err = np.linalg.norm(
+        np.asarray(est_c2w)[:, 0:3, 3] - np.asarray(gt_c2w)[:, 0:3, 3], axis=-1
+    )
+    r_err = np.asarray(
+        geo.rotation_angle_deg(est_c2w[:, 0:3, 0:3], gt_c2w[:, 0:3, 0:3])
+    )
+    return t_err, r_err
+
+
+class TestOracle:
+    def test_exact_coords_recover_pose(self, rng):
+        coords, gt = synth_scene(rng, B=3)
+        res = jax.jit(
+            lambda c, k: ransac.solve_batch(c, FOCAL, (IMG_H, IMG_W), k)
+        )(coords, jax.random.PRNGKey(0))
+        assert bool(jnp.all(res.valid))
+        t_err, r_err = pose_errors(res.cam_to_world, gt)
+        assert t_err.max() < 0.5, f"t_err={t_err}"
+        assert r_err.max() < 0.3, f"r_err={r_err}"
+        # most pixels should be inliers under the recovered pose
+        assert int(res.inlier_count.min()) > 0.9 * HS * WS
+
+    def test_noisy_coords_with_outliers(self, rng):
+        coords, gt = synth_scene(rng, B=4, noise=1.0, outlier_frac=0.25)
+        res = ransac.solve_batch(coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(1))
+        t_err, r_err = pose_errors(res.cam_to_world, gt)
+        assert np.median(t_err) < 5.0, f"t_err={t_err}"
+        assert np.median(r_err) < 3.0, f"r_err={r_err}"
+
+    def test_training_mode_samples(self, rng):
+        coords, gt = synth_scene(rng, B=2)
+        res = ransac.solve_batch(
+            coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(2), training=True
+        )
+        t_err, _ = pose_errors(res.cam_to_world, gt)
+        assert t_err.max() < 2.0
+
+    def test_scores_prefer_truth(self, rng):
+        coords, gt = synth_scene(rng, B=1)
+        res = ransac.solve_batch(coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(3))
+        probs = np.asarray(res.probs[0])
+        assert probs.max() > 0.01
+        assert abs(probs.sum() - 1.0) < 1e-4
+        assert float(res.entropy[0]) < np.log2(64.0) + 1e-3
+
+
+class TestExpectedLoss:
+    def test_loss_small_for_exact(self, rng):
+        coords, gt = synth_scene(rng, B=2)
+        loss, aux = ransac.expected_pose_loss(
+            coords, gt, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(0)
+        )
+        assert float(loss) < 1.0
+
+    def test_loss_larger_for_corrupted(self, rng):
+        coords, gt = synth_scene(rng, B=2)
+        bad = coords + jnp.asarray(rng.normal(size=coords.shape) * 20.0, dtype=jnp.float32)
+        loss0, _ = ransac.expected_pose_loss(coords, gt, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(0))
+        loss1, _ = ransac.expected_pose_loss(bad, gt, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(0))
+        assert float(loss1) > float(loss0)
+
+    def test_gradient_flows_to_coords(self, rng):
+        coords, gt = synth_scene(rng, B=1, noise=0.5)
+        cfg = ransac.RansacConfig(hypotheses=16, sample_rounds=4, train_refine_steps=2)
+
+        def f(c):
+            loss, _ = ransac.expected_pose_loss(
+                c, gt, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(0), cfg=cfg
+            )
+            return loss
+
+        g = jax.grad(f)(coords)
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+        assert np.abs(g).sum() > 0.0
+
+
+class TestPoseLoss:
+    def test_identity_zero(self):
+        T = jnp.eye(4)[None]
+        assert float(ransac.pose_loss(T, T)[0]) < 1e-5
+
+    def test_translation_only(self):
+        T1 = jnp.eye(4)[None]
+        T2 = jnp.eye(4).at[0, 3].set(7.0)[None]
+        np.testing.assert_allclose(float(ransac.pose_loss(T1, T2)[0]), 7.0, rtol=1e-5)
+
+    def test_soft_clamp(self):
+        T1 = jnp.eye(4)[None]
+        T2 = jnp.eye(4).at[0, 3].set(400.0)[None]
+        # above cut=100 -> sqrt(100 * 400) = 200
+        np.testing.assert_allclose(float(ransac.pose_loss(T1, T2)[0]), 200.0, rtol=1e-4)
+
+
+class TestRgbd:
+    def test_exact_recovery(self, rng):
+        coords, gt = synth_scene(rng, B=2)
+        # camera coords = w2c(gt) applied to scene coords
+        w2c = geo.invert_se3(gt)
+        cam = geo.transform_points(w2c[:, None], coords.reshape(2, -1, 3)[:, None])[:, 0]
+        cam = cam.reshape(coords.shape)
+        vmask = jnp.ones(coords.shape[:3], dtype=bool)
+        res = ransac.solve_rgbd(coords, cam, vmask, jax.random.PRNGKey(0))
+        t_err, r_err = pose_errors(res.cam_to_world, gt)
+        assert t_err.max() < 0.05 and r_err.max() < 0.05
+
+    def test_invalid_depth_ignored(self, rng):
+        coords, gt = synth_scene(rng, B=1)
+        w2c = geo.invert_se3(gt)
+        cam = geo.transform_points(w2c[:, None], coords.reshape(1, -1, 3)[:, None])[:, 0]
+        cam = np.array(cam.reshape(coords.shape))  # writable copy
+        vmask = np.ones(coords.shape[:3], dtype=bool)
+        # corrupt half the pixels but mark them invalid
+        cam[:, ::2] += 1000.0
+        vmask[:, ::2] = False
+        res = ransac.solve_rgbd(
+            coords, jnp.asarray(cam), jnp.asarray(vmask), jax.random.PRNGKey(1)
+        )
+        t_err, r_err = pose_errors(res.cam_to_world, gt)
+        assert t_err.max() < 0.05 and r_err.max() < 0.05

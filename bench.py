@@ -1,0 +1,78 @@
+"""Benchmark: fused image->pose localization throughput on one TPU chip.
+
+Measures the flagship path end to end — CrossLoc coord regressor (MLE
+uncertainty head, 480x720 input) + differentiable RANSAC pose solver
+(64 hypotheses, tau=10px, the reference eval config from
+`test_single_task.py:76-89`) — as ONE jit-compiled XLA program.
+
+Baseline: the reference has no published in-repo throughput numbers
+(BASELINE.md); its north-star target is 5,000 images/sec/chip image->pose
+inference on TPU v5e (BASELINE.json). `vs_baseline` is measured throughput
+divided by that target.
+
+Prints exactly one JSON line.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crossloc_tpu import models, ransac
+
+BASELINE_IMG_PER_SEC = 5000.0  # north-star target (BASELINE.json)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    model = models.build_network(
+        "coord", uncertainty="MLE", mean=[-29.34, 184.17, 91.96], dtype=jnp.bfloat16
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch, 480, 720, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images[:1])
+    cfg = ransac.RansacConfig()
+
+    @jax.jit
+    def localize(params, images, key):
+        preds = model.apply(params, images)
+        coords = preds[..., 0:3].astype(jnp.float32)
+        res = ransac.solve_batch(coords, 480.0, (480, 720), key, cfg)
+        return res.cam_to_world
+
+    def sync(x):
+        # force true device completion: on tunneled platforms
+        # block_until_ready() can return at dispatch, so pull real bytes
+        return np.asarray(x[0, 0, 0])
+
+    key = jax.random.PRNGKey(1)
+    out = localize(params, images, key)  # compile + warmup
+    sync(out)
+    out = localize(params, images, key)
+    sync(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = localize(params, images, jax.random.fold_in(key, i))
+    sync(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "image_to_pose_throughput_480x720_b{}".format(batch),
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

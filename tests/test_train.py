@@ -1,0 +1,77 @@
+"""Train-step tests: loss goes down, schedule parity, uncertainty split."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crossloc_tpu import models, train
+
+
+def synth_batch(rng, B=2, H=64, W=96):
+    images = jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32)
+    poses = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 2, 3].set(50.0)
+    labels = jnp.asarray(rng.normal(size=(B, H // 8, W // 8, 3)) * 20, jnp.float32)
+    return train.TrainBatch(images, poses, labels, jnp.float32(300.0))
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        model = models.build_network("coord", uncertainty="MLE", mean=[0.0, 0.0, 0.0])
+        tx = train.make_optimizer(1e-4, steps_per_epoch=10)
+        batch = synth_batch(rng)
+        state = train.create_train_state(model, tx, batch.images)
+        step = jax.jit(train.make_train_step(model, tx, "coord", uncertainty="MLE"))
+        state, m0 = step(state, batch)
+        for _ in range(5):
+            state, m = step(state, batch)
+        assert float(m["loss"]) < float(m0["loss"])
+        assert np.isfinite(float(m["grad_norm"]))
+        assert int(state.step) == 6
+
+    def test_depth_task(self, rng):
+        model = models.build_network("depth", mean=[100.0])
+        tx = train.make_optimizer(1e-4)
+        images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+        labels = jnp.asarray(rng.uniform(50, 150, size=(2, 4, 4, 1)), jnp.float32)
+        batch = train.TrainBatch(images, jnp.broadcast_to(jnp.eye(4), (2, 4, 4)), labels,
+                                 jnp.float32(300.0))
+        state = train.create_train_state(model, tx, batch.images)
+        step = jax.jit(train.make_train_step(model, tx, "depth"))
+        state, m0 = step(state, batch)
+        for _ in range(10):
+            state, m = step(state, batch)
+        assert float(m["loss"]) < float(m0["loss"])
+
+    def test_multistep_schedule(self):
+        # gamma=0.5 at epochs 50 and 100 (utils/learning.py:396)
+        sched = train.multistep_lr(2e-4, steps_per_epoch=10)
+        assert np.isclose(sched(0), 2e-4)
+        assert np.isclose(sched(499), 2e-4)
+        assert np.isclose(sched(500), 1e-4)
+        assert np.isclose(sched(1000), 5e-5)
+
+    def test_schedule_disabled(self):
+        sched = train.multistep_lr(1e-4, steps_per_epoch=10, enabled=False)
+        assert sched == 1e-4
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import importlib.util, pathlib
+
+        spec = importlib.util.spec_from_file_location(
+            "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)
+
+    def test_dryrun_multichip_4(self):
+        import importlib.util, pathlib
+
+        spec = importlib.util.spec_from_file_location(
+            "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(4)

@@ -1,0 +1,41 @@
+"""Data layer: directory-contract reader, device augmentation, pipeline."""
+from .augment import (
+    AugmentConfig,
+    augment_batch,
+    color_jitter,
+    normalize_images,
+    rotation_z_pose,
+    to_grayscale,
+)
+from .dataset import (
+    GRAY_MEAN,
+    GRAY_STD,
+    IMAGE_HEIGHT,
+    RGB_MEAN,
+    RGB_STD,
+    CamLocDataset,
+    CamLocItem,
+)
+from .means import get_label_mean
+from .pipeline import Loader
+from .synthetic import synth_sample, write_fake_dataset
+
+__all__ = [
+    "AugmentConfig",
+    "CamLocDataset",
+    "CamLocItem",
+    "GRAY_MEAN",
+    "GRAY_STD",
+    "IMAGE_HEIGHT",
+    "Loader",
+    "RGB_MEAN",
+    "RGB_STD",
+    "augment_batch",
+    "color_jitter",
+    "get_label_mean",
+    "normalize_images",
+    "rotation_z_pose",
+    "synth_sample",
+    "to_grayscale",
+    "write_fake_dataset",
+]

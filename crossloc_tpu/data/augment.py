@@ -1,0 +1,162 @@
+"""Device-side augmentation kernels — the TPU-native `batch_resize`.
+
+Behavioral parity targets: per-image ColorJitter + normalization
+(`dataloader/dataloader.py:348-402`) and the per-batch shared scale/rotation
+collate (`batch_resize`, `dataloader/dataloader.py:507-586`): ONE scale and
+ONE angle per minibatch, bilinear for images / nearest for labels, fill -1
+(0 for semantics), focal scaled, pose post-multiplied by an in-plane
+rotation (`:430-438`).
+
+TPU-first divergence (documented): the reference materializes a *resized*
+canvas (dynamic shapes per batch). XLA requires static shapes, so we sample
+the scaled+rotated view on a FIXED canvas through one inverse-affine gather:
+zoom-in crops borders, zoom-out pads with the fill value. The augmentation
+distribution is equivalent; the (image, pose, focal, label) tuple remains
+exactly geometrically consistent, which tests verify by asserting zero
+reprojection error of augmented dense labels under the augmented camera.
+
+Grayscale conversion uses the ITU-R 601 luma weights (PIL's `Grayscale`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .dataset import GRAY_MEAN, GRAY_STD, RGB_MEAN, RGB_STD
+
+
+class AugmentConfig(NamedTuple):
+    aug_rotation: float = 30.0  # max |angle| in degrees
+    aug_scale_min: float = 2.0 / 3.0
+    aug_scale_max: float = 3.0 / 2.0
+    aug_brightness: float = 0.1
+    aug_contrast: float = 0.1
+    grayscale: bool = False
+    nodata_value: float = -1.0
+    subsample: int = 8
+
+
+def to_grayscale(images):
+    """[B, H, W, 3] -> [B, H, W, 1], ITU-R 601 luma (PIL Grayscale)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], images.dtype)
+    return jnp.sum(images * w, axis=-1, keepdims=True)
+
+
+def normalize_images(images, grayscale: bool = False):
+    """Dataset normalization (`dataloader/dataloader.py:171-201`)."""
+    if grayscale:
+        if images.shape[-1] == 3:
+            images = to_grayscale(images)
+        return (images - GRAY_MEAN) / GRAY_STD
+    return (images - RGB_MEAN) / RGB_STD
+
+
+def color_jitter(images, key, brightness: float = 0.1, contrast: float = 0.1):
+    """Per-image brightness/contrast jitter on raw [0, 1] images
+    (torchvision ColorJitter semantics: factors in [1-x, 1+x])."""
+    B = images.shape[0]
+    kb, kc = jax.random.split(key)
+    b = jax.random.uniform(kb, (B, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
+    c = jax.random.uniform(kc, (B, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+    images = jnp.clip(images * b, 0.0, 1.0)
+    gray_mean = jnp.mean(to_grayscale(images), axis=(1, 2, 3), keepdims=True)
+    return jnp.clip((images - gray_mean) * c + gray_mean, 0.0, 1.0)
+
+
+def _inverse_affine_coords(out_h, out_w, in_h, in_w, scale, angle_rad, dtype):
+    """Input-pixel coords for each output pixel of the fixed canvas:
+    in = C_in + R(theta) (out - C_out) / scale  (see module docstring)."""
+    ys = jnp.arange(out_h, dtype=dtype) - (out_h - 1) / 2.0
+    xs = jnp.arange(out_w, dtype=dtype) - (out_w - 1) / 2.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    rx = (cos * gx - sin * gy) / scale + (in_w - 1) / 2.0
+    ry = (sin * gx + cos * gy) / scale + (in_h - 1) / 2.0
+    return rx, ry
+
+
+def _bilinear_sample(img, rx, ry, fill):
+    """img [H, W, C], rx/ry [h', w'] -> [h', w', C] with OOB fill."""
+    H, W = img.shape[0], img.shape[1]
+    x0 = jnp.floor(rx).astype(jnp.int32)
+    y0 = jnp.floor(ry).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+    wx = rx - x0
+    wy = ry - y0
+
+    def gather(yy, xx):
+        yc = jnp.clip(yy, 0, H - 1)
+        xc = jnp.clip(xx, 0, W - 1)
+        return img[yc, xc]
+
+    top = gather(y0, x0) * (1 - wx)[..., None] + gather(y0, x1) * wx[..., None]
+    bot = gather(y1, x0) * (1 - wx)[..., None] + gather(y1, x1) * wx[..., None]
+    out = top * (1 - wy)[..., None] + bot * wy[..., None]
+    inside = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
+    return jnp.where(inside[..., None], out, fill)
+
+
+def _nearest_sample(img, rx, ry, fill):
+    """img [H, W, C] nearest-neighbor resample with OOB fill."""
+    H, W = img.shape[0], img.shape[1]
+    xn = jnp.round(rx).astype(jnp.int32)
+    yn = jnp.round(ry).astype(jnp.int32)
+    out = img[jnp.clip(yn, 0, H - 1), jnp.clip(xn, 0, W - 1)]
+    inside = (xn >= 0) & (xn <= W - 1) & (yn >= 0) & (yn <= H - 1)
+    return jnp.where(inside[..., None], out, fill)
+
+
+def rotation_z_pose(angle_rad, dtype=jnp.float32):
+    """In-plane pose rotation appended to the cam-to-world matrix
+    (`dataloader/dataloader.py:430-438`)."""
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    return jnp.asarray(
+        [[cos, -sin, 0.0, 0.0], [sin, cos, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]],
+        dtype,
+    )
+
+
+def augment_batch(
+    images,
+    labels,
+    poses,
+    focal,
+    key,
+    cfg: AugmentConfig = AugmentConfig(),
+    semantics: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full train-time augmentation, all on device, static shapes.
+
+    images: [B, H, W, 3] raw [0, 1]; labels: [B, h, w, C] (subsampled) or
+    [B, H, W, 1] full-size semantics ids; poses [B, 4, 4]; focal [] or [B].
+    Returns (normalized_images, labels, poses, focal), same shapes.
+    """
+    B, H, W, _ = images.shape
+    k_scale, k_rot, k_jit = jax.random.split(key, 3)
+    scale = jax.random.uniform(k_scale, (), minval=cfg.aug_scale_min, maxval=cfg.aug_scale_max)
+    angle = jax.random.uniform(k_rot, (), minval=-cfg.aug_rotation, maxval=cfg.aug_rotation)
+    angle_rad = jnp.deg2rad(angle)
+
+    images = color_jitter(images, k_jit, cfg.aug_brightness, cfg.aug_contrast)
+    images = normalize_images(images, cfg.grayscale)
+
+    rx, ry = _inverse_affine_coords(H, W, H, W, scale, angle_rad, images.dtype)
+    images = jax.vmap(lambda im: _bilinear_sample(im, rx, ry, cfg.nodata_value))(images)
+
+    if semantics:
+        fill = 0.0
+        lrx, lry = rx, ry  # semantics labels live on the image canvas
+    else:
+        fill = cfg.nodata_value
+        h, w = labels.shape[1], labels.shape[2]
+        # label cells live on the subsampled grid; map their pixel centers
+        # (x*ss + ss/2) through the same inverse affine
+        ss = cfg.subsample
+        lrx, lry = _inverse_affine_coords(h, w, h, w, scale, angle_rad, images.dtype)
+    labels = jax.vmap(lambda lb: _nearest_sample(lb, lrx, lry, fill))(labels)
+
+    poses = poses @ rotation_z_pose(angle_rad, poses.dtype)
+    focal = focal * scale
+    return images, labels, poses, focal

@@ -1,0 +1,81 @@
+"""Host input pipeline: shuffle, batch, background prefetch to device.
+
+Replaces the reference's multiprocess torch DataLoader + collate
+(`utils/learning.py:250-252`): a thread pool decodes/loads items while the
+accelerator computes, and all augmentation runs on device (data/augment.py),
+so the host only moves raw bytes.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    """Iterates (epoch-wise) over host batches with background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 2021,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = list(self._index_batches())
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(self.dataset.collate, b) for b in batches]
+                for f in futures:
+                    if stop.is_set():
+                        f.cancel()
+                        continue
+                    try:
+                        q.put(f.result())
+                    except Exception as e:  # surface loader errors to the consumer
+                        q.put(e)
+                        break
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

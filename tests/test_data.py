@@ -1,0 +1,171 @@
+"""Data-layer tests: directory contract, augmentation geometric consistency,
+label means, pipeline."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crossloc_tpu import data, geometry as geo, losses
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fake_scene")
+    return data.write_fake_dataset(str(root), n=4, img_h=96, img_w=144, focal=120.0)
+
+
+class TestCamLocDataset:
+    def test_mode1_all_labels(self, fake_root):
+        ds = data.CamLocDataset(fake_root, coord=True, depth=True, normal=True, semantics=True)
+        assert len(ds) == 4
+        it = ds[0]
+        assert it.image.shape == (480, 720, 3)  # resized to standard height
+        assert it.coord.shape == (12, 18, 3)
+        assert it.depth.shape == (12, 18, 1)
+        assert it.normal.shape == (12, 18, 3)
+        assert it.semantics.shape == (96, 144) and it.semantics.max() <= 5
+        assert it.pose.shape == (4, 4)
+        # focal rescaled by 480/96 = 5
+        np.testing.assert_allclose(it.focal, 120.0 * 5.0)
+
+    def test_multi_root(self, fake_root):
+        ds = data.CamLocDataset([fake_root, fake_root], coord=True)
+        assert len(ds) == 8
+
+    def test_mode2_eye(self, fake_root):
+        ds = data.CamLocDataset(fake_root, mode=2)
+        it = ds[0]
+        assert it.eye.shape == (12, 18, 3)
+        # eye coords must equal w2c(pose) applied to scene coords
+        ds1 = data.CamLocDataset(fake_root, mode=1, coord=True)
+        it1 = ds1[0]
+        w2c = np.asarray(geo.invert_se3(jnp.asarray(it.pose)))
+        expect = it1.coord @ w2c[:3, :3].T + w2c[:3, 3]
+        np.testing.assert_allclose(it.eye, expect, atol=1e-3)
+
+    def test_collate(self, fake_root):
+        ds = data.CamLocDataset(fake_root, coord=True)
+        batch = ds.collate([0, 1])
+        assert batch["image"].shape == (2, 480, 720, 3)
+        assert batch["coord"].shape == (2, 12, 18, 3)
+        assert batch["pose"].shape == (2, 4, 4)
+
+    def test_loader(self, fake_root):
+        ds = data.CamLocDataset(fake_root, coord=True)
+        loader = data.Loader(ds, batch_size=2, shuffle=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["image"].shape[0] == 2
+
+
+class TestAugment:
+    def test_pose_focal_affine_exactly_consistent(self, rng):
+        """Zero-quantization check: a world point seen at input pixel p must
+        project, under the augmented (pose, focal), exactly to the forward
+        affine image of p on the fixed canvas."""
+        from crossloc_tpu.data.augment import _inverse_affine_coords, rotation_z_pose
+
+        s = data.synth_sample(rng, img_h=192, img_w=256, focal=200.0)
+        pose = jnp.asarray(s["pose"])
+        H, W = 192, 256
+        for seed in range(5):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+            scale = float(jax.random.uniform(k1, (), minval=2 / 3, maxval=1.5))
+            angle = float(jax.random.uniform(k2, (), minval=-30.0, maxval=30.0))
+            rad = np.deg2rad(angle)
+            pose_aug = pose @ rotation_z_pose(rad)
+            focal_aug = s["focal"] * scale
+
+            # world point seen at label cell (5, 7) of the input
+            X = jnp.asarray(s["coord"][5, 7])
+            p_in = np.asarray([7 * 8 + 4, 5 * 8 + 4], np.float64)  # pixel center
+
+            # forward affine (index space): out = C + s * R(-theta) (in - C)
+            c = np.asarray([(W - 1) / 2, (H - 1) / 2])
+            Rm = np.asarray([[np.cos(rad), np.sin(rad)], [-np.sin(rad), np.cos(rad)]])
+            # pixel centers (x*8+4) are index+0.5 in index space
+            p_out = c + scale * (Rm @ ((p_in - 0.5) - c)) + 0.5
+
+            # project X under the augmented camera
+            K = np.asarray(geo.intrinsics(focal_aug, W, H))
+            w2c = np.asarray(geo.invert_se3(pose_aug))
+            Xc = w2c[:3, :3] @ np.asarray(X) + w2c[:3, 3]
+            proj = K @ Xc
+            p_proj = proj[0:2] / proj[2]
+
+            np.testing.assert_allclose(p_proj, p_out, atol=0.02)
+
+    def test_augmented_labels_consistent_within_quantization(self, rng):
+        """The coord loss of augmented labels vs themselves under the
+        augmented camera stays within nearest-resampling quantization
+        (< ~half a subsampled cell diagonal, same as the reference's
+        nearest interpolate+rotate)."""
+        s = data.synth_sample(rng, img_h=192, img_w=256, focal=200.0)
+        B = 2
+        images = jnp.asarray(np.stack([s["image"]] * B))
+        labels = jnp.asarray(np.stack([s["coord"]] * B))
+        poses = jnp.asarray(np.stack([s["pose"]] * B))
+        focal = jnp.full((B,), s["focal"])
+
+        for seed in range(4):
+            aug_img, aug_lab, aug_pose, aug_focal = data.augment_batch(
+                images, labels, poses, focal, jax.random.PRNGKey(seed)
+            )
+            K = geo.intrinsics(aug_focal[0], 256, 192)
+            loss, valid_rate = losses.scene_coords_loss(aug_lab, aug_lab, aug_pose, K)
+            # per-pixel reprojection error bounded by cell quantization
+            assert float(loss) < 8.0, f"seed {seed}: loss={float(loss)}"
+            assert float(valid_rate) > 0.3
+
+    def test_fill_values(self, rng):
+        images = jnp.asarray(rng.uniform(0, 1, size=(1, 64, 64, 3)), jnp.float32)
+        labels = jnp.ones((1, 8, 8, 3))
+        poses = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+        cfg = data.AugmentConfig(aug_scale_min=0.5, aug_scale_max=0.51)  # zoom out
+        img, lab, _, _ = data.augment_batch(
+            images, labels, poses, jnp.float32(100.0), jax.random.PRNGKey(0), cfg
+        )
+        # zoom-out maps canvas corners outside the input -> fill value
+        np.testing.assert_allclose(np.asarray(img[0, 0, 0]), [-1.0] * 3)
+        np.testing.assert_allclose(np.asarray(lab[0, 0, 0]), [-1.0] * 3)
+
+    def test_normalization_stats(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, size=(2, 8, 8, 3)), jnp.float32)
+        n = data.normalize_images(x)
+        expect = (np.asarray(x) - data.RGB_MEAN) / data.RGB_STD
+        np.testing.assert_allclose(np.asarray(n), expect, rtol=1e-5)
+        g = data.normalize_images(x, grayscale=True)
+        assert g.shape == (2, 8, 8, 1)
+
+    def test_jitter_bounds(self, rng):
+        x = jnp.asarray(rng.uniform(0.3, 0.7, size=(4, 8, 8, 3)), jnp.float32)
+        j = data.color_jitter(x, jax.random.PRNGKey(0))
+        assert float(jnp.min(j)) >= 0.0 and float(jnp.max(j)) <= 1.0
+        assert float(jnp.max(jnp.abs(j - x))) > 0.0
+
+
+class TestLabelMeans:
+    def test_hardcoded(self):
+        np.testing.assert_allclose(
+            data.get_label_mean("urbanscape", "coord"), [-29.34, 184.17, 91.96]
+        )
+        np.testing.assert_allclose(data.get_label_mean("naturescape", "depth"), [241.47])
+        assert data.get_label_mean("urbanscape", "semantics").shape == (6,)
+
+    def test_normal_logits_round_trip(self):
+        from crossloc_tpu.losses import logits_to_radian
+
+        logits = data.get_label_mean("urbanscape", "normal")
+        ae = np.asarray(logits_to_radian(jnp.asarray(logits)))
+        np.testing.assert_allclose(ae, [-1.0454, -0.9858], atol=1e-3)
+
+    def test_computed_fallback(self, fake_root):
+        ds = data.CamLocDataset(fake_root, coord=True)
+        mean = data.get_label_mean("unknown_scene", "coord", dataset=ds)
+        all_coords = np.concatenate([ds[i].coord.reshape(-1, 3) for i in range(len(ds))])
+        np.testing.assert_allclose(mean, all_coords.mean(axis=0), rtol=1e-4)
+
+    def test_unknown_scene_requires_dataset(self):
+        with pytest.raises(ValueError):
+            data.get_label_mean("unknown_scene", "coord")

@@ -30,11 +30,15 @@ class ConvGN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit symmetric padding = torch Conv2d(padding=k//2): XLA "SAME"
+        # pads (0, 1) for stride 2, shifting the sampling grid by one pixel
+        # relative to the reference convs — that would break `.net` imports
+        pad = self.kernel // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             dtype=self.dtype,
             name=self.name_conv,
         )(x)

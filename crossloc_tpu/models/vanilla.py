@@ -26,8 +26,10 @@ class VanillaNetwork(nn.Module):
     @nn.compact
     def __call__(self, x):
         mid, wide = (128, 128) if self.tiny else (256, 512)
+        # symmetric padding k//2 == torch Conv2d(padding=k//2) (see ConvGN)
         conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype, name=name
+            f, (k, k), strides=(s, s), padding=((k // 2, k // 2), (k // 2, k // 2)),
+            dtype=self.dtype, name=name,
         )
         x = x.astype(self.dtype)
         x = nn.relu(conv(32, 3, 1, "conv1")(x))

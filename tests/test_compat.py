@@ -1,0 +1,188 @@
+"""Checkpoint interop + naming grammar tests, with torch-op numerical oracles."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crossloc_tpu import compat, models
+
+
+class TestTorchRoundTrip:
+    def _round_trip(self, model, x):
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        state = compat.params_to_torch_state(params, model)
+        back = compat.torch_state_to_params(state, model)
+        out0 = model.apply({"params": params}, x)
+        out1 = model.apply({"params": back}, x)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+        return state
+
+    def test_transpose_net(self, rng):
+        model = models.build_network("coord", uncertainty="MLE", mean=[1.0, 2.0, 3.0])
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        state = self._round_trip(model, x)
+        # reference key grammar spot checks (`networks/networks.py`)
+        for k in [
+            "mean", "decoder.mean", "encoder.conv1.weight", "encoder.norm1.weight",
+            "encoder.res2_skip.weight", "encoder.res2_skip_norm.bias",
+            "encoder.enc_add_res_block1.0.weight", "encoder.enc_add_res_block2.7.bias",
+            "decoder.dec_add_res_block1.3.weight", "decoder.res3_conv2.weight",
+            "decoder.fc1_norm.weight", "decoder.fc3.bias",
+        ]:
+            assert k in state, k
+        assert tuple(state["encoder.conv1.weight"].shape) == (32, 3, 3, 3)  # OIHW
+        assert tuple(state["decoder.fc3.weight"].shape) == (4, 512, 1, 1)
+
+    def test_mlr_net(self, rng):
+        model = models.build_network("coord", uncertainty="MLE", num_mlr=3)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        state = self._round_trip(model, x)
+        for k in ["mlr_encoder_1.conv1.weight", "mlr_encoder_3.res1_norm2.bias",
+                  "mlr_norm.weight", "mlr_forward.0.weight", "mlr_forward.6.bias",
+                  "mlr_skip.0.weight", "mlr_skip.1.bias"]:
+            assert k in state, k
+        assert "encoder.conv1.weight" not in state
+
+    def test_fullsize_semantics(self, rng):
+        model = models.build_network("semantics", fullsize=True)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        state = self._round_trip(model, x)
+        assert "decoder.duc_upsample.conv.weight" in state
+        assert tuple(state["decoder.duc_upsample.conv.weight"].shape) == (384, 512, 3, 3)
+
+    def test_vanilla_network(self, rng):
+        model = models.VanillaNetwork(mean_init=[1.0, 2.0, 3.0])
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 1)), jnp.float32)
+        state = self._round_trip(model, x)
+        assert "conv1.weight" in state and "res2_skip.weight" in state
+
+    def test_net_file_io(self, rng, tmp_path):
+        model = models.build_network("depth", mean=[100.0])
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        path = str(tmp_path / "model.net")
+        compat.save_net(path, params, model)
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=False)
+        assert "decoder.fc3.weight" in state
+        back = compat.load_net(path, model)
+        np.testing.assert_allclose(
+            np.asarray(model.apply({"params": back}, x)),
+            np.asarray(model.apply({"params": params}, x)),
+            atol=1e-6,
+        )
+
+    def test_missing_key_rejected(self, rng):
+        model = models.build_network("depth")
+        x = jnp.zeros((1, 16, 16, 3))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        state = compat.params_to_torch_state(params, model)
+        del state["decoder.fc3.weight"]
+        with pytest.raises(KeyError):
+            compat.torch_state_to_params(state, model)
+
+
+class TestTorchOpParity:
+    """Numerical oracles: our modules == the torch ops the reference uses."""
+
+    def test_conv_stride2_matches_torch(self, rng):
+        import torch
+
+        x = rng.normal(size=(1, 10, 12, 5)).astype(np.float32)
+        w = rng.normal(size=(3, 3, 5, 7)).astype(np.float32) * 0.1
+        b = rng.normal(size=(7,)).astype(np.float32)
+
+        from flax import linen as nn
+
+        conv = nn.Conv(7, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        out = conv.apply({"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}},
+                         jnp.asarray(x))
+
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        tw = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))
+        tb = torch.from_numpy(b)
+        tout = torch.nn.functional.conv2d(tx, tw, tb, stride=2, padding=1)
+        np.testing.assert_allclose(
+            np.asarray(out), tout.permute(0, 2, 3, 1).numpy(), atol=1e-4
+        )
+
+    def test_groupnorm_matches_torch(self, rng):
+        import torch
+
+        C, G = 64, 32
+        x = rng.normal(size=(2, 6, 6, C)).astype(np.float32)
+        wt = rng.normal(size=(C,)).astype(np.float32)
+        bt = rng.normal(size=(C,)).astype(np.float32)
+
+        from flax import linen as nn
+
+        gn = nn.GroupNorm(num_groups=G)
+        out = gn.apply({"params": {"scale": jnp.asarray(wt), "bias": jnp.asarray(bt)}},
+                       jnp.asarray(x))
+
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        tout = torch.nn.functional.group_norm(
+            tx, G, torch.from_numpy(wt), torch.from_numpy(bt)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), tout.permute(0, 2, 3, 1).numpy(), atol=1e-4
+        )
+
+
+class TestNaming:
+    def test_train_name_default(self):
+        name = compat.train_output_name(
+            "urbanscape", "coord", uncertainty="MLE", epochs=150, learning_rate=2e-4,
+            real_data_chunk=0.0, sim_data_chunk=1.0,
+        )
+        assert name == "urbanscape-coord-unc-MLE-e150-lr0.0002-sim_only-sc1.00"
+
+    def test_train_name_pairs_oop(self):
+        name = compat.train_output_name(
+            "naturescape", "depth", epochs=400, learning_rate=1e-4,
+            real_data_chunk=0.5, real_data_domain="out_of_place",
+        )
+        assert name == "naturescape-depth-no_unc-e400-lr0.0001-pairs-oop-rc0.50"
+
+    def test_small_lr_format(self):
+        name = compat.train_output_name(
+            "urbanscape", "coord", epochs=10, learning_rate=5e-5,
+            real_data_chunk=0.0, sim_data_chunk=1.0,
+        )
+        assert "-lr0.000050-" in name
+
+    def test_finetune_name_and_coord_marker(self):
+        name = compat.finetune_output_name(
+            "urbanscape", "coord", ["coord", "depth", "normal"],
+            reuse_coord_encoder=True, unfreeze_coord_encoder=False,
+            uncertainty="MLE", epochs=1000, learning_rate=1e-4,
+            real_data_chunk=1.0,
+        )
+        assert name.startswith("urbanscape-coord-decoder_coord_frozen_depth_normal")
+        assert name.endswith("-unc-MLE-e1000-lr0.0001-pairwise-ip-rc1.00")
+
+    def test_finetune_drops_coord_without_reuse(self):
+        name = compat.finetune_output_name(
+            "urbanscape", "coord", ["coord", "depth", "normal"], uncertainty="MLE",
+            real_data_chunk=1.0,
+        )
+        assert "-decoder_depth_normal" in name
+
+    def test_meta_round_trip(self):
+        name = compat.finetune_output_name(
+            "urbanscape", "coord", ["coord", "depth", "normal"],
+            reuse_coord_encoder=True, uncertainty="MLE", real_data_chunk=1.0,
+        )
+        scene, gray, task, sections, tiny, fullsize, unc = compat.read_meta_info(name)
+        assert scene == "urbanscape" and task == "coord"
+        assert sections == ["test_drone_real"]
+        assert unc == "MLE" and not tiny and not fullsize
+
+        name2 = compat.train_output_name(
+            "naturescape", "normal", real_data_chunk=0.0, sim_data_chunk=1.0, tiny=True
+        )
+        scene, gray, task, sections, tiny, fullsize, unc = compat.read_meta_info(name2)
+        assert scene == "naturescape" and task == "normal" and tiny
+        assert sections == ["val_drone_sim", "val_drone_real"]

@@ -1,0 +1,227 @@
+"""Shared CLI orchestration: dataset-root resolution, network construction,
+MLR weight wiring — the equivalents of `utils/learning.py:177-398`.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from .. import compat, models
+from ..data import CamLocDataset, Loader, get_label_mean
+from ..losses import get_nodata_value
+
+
+def resolve_train_roots(
+    scene: str,
+    task: str,
+    real_data_domain: str,
+    real_data_chunk: float,
+    sim_data_chunk: float,
+    fullsize: bool,
+    real_only: bool = False,
+    datasets_dir: str = "./datasets",
+) -> List[str]:
+    """Dataset-root resolution (`config_dataloader`, `utils/learning.py:196-232`):
+    LHS sim, in-place / out-of-place pairwise real+sim, fractional chunk dirs,
+    '-fullsize' scene suffix (semantics exempt)."""
+    if not ("urbanscape" in scene.lower() or "naturescape" in scene.lower()):
+        raise NotImplementedError(f"scene={scene}")
+    if real_data_domain not in ("in_place", "out_of_place"):
+        raise ValueError(f"real_data_domain={real_data_domain} is not supported!")
+    if not (0.0 <= real_data_chunk <= 1.0 and 0.0 <= sim_data_chunk <= 1.0):
+        raise ValueError("chunks must be in [0, 1]")
+    if real_data_chunk == 0.0 and sim_data_chunk == 0.0:
+        raise ValueError("one of real_data_chunk or sim_data_chunk must be positive!")
+
+    _scene = scene if task == "semantics" else (scene + "-fullsize" if fullsize else scene)
+    roots = []
+    if sim_data_chunk > 0:
+        sub = "train_sim" if sim_data_chunk == 1 else f"train_sim_chunk_{sim_data_chunk:.2f}"
+        roots.append(os.path.join(datasets_dir, _scene, sub))
+    if real_data_chunk > 0:
+        oop = "oop_" if real_data_domain == "out_of_place" else ""
+        if real_data_chunk == 1:
+            real = f"train_{oop}drone_real"
+            sim = f"train_{oop}drone_sim"
+        else:
+            real = f"train_{oop}drone_real_chunk_{real_data_chunk:.2f}"
+            sim = f"train_{oop}drone_sim_chunk_{real_data_chunk:.2f}"
+        roots.append(os.path.join(datasets_dir, _scene, real))
+        if not real_only:
+            roots.append(os.path.join(datasets_dir, _scene, sim))
+    return roots
+
+
+def build_train_loader(
+    scene: str,
+    task: str,
+    grayscale: bool,
+    real_data_domain: str,
+    real_data_chunk: float,
+    sim_data_chunk: float,
+    fullsize: bool,
+    batch_size: int,
+    real_only: bool = False,
+    datasets_dir: str = "./datasets",
+    image_height: int = 480,
+):
+    """(dataset, loader, mean) — `config_dataloader` parity."""
+    roots = resolve_train_roots(
+        scene, task, real_data_domain, real_data_chunk, sim_data_chunk, fullsize,
+        real_only, datasets_dir,
+    )
+    dataset = CamLocDataset(
+        roots,
+        coord=task == "coord",
+        depth=task == "depth",
+        normal=task == "normal",
+        semantics=task == "semantics",
+        grayscale=grayscale,
+        image_height=image_height,
+    )
+    mean_ds = None
+    if not ("urbanscape" in scene.lower() or "naturescape" in scene.lower()):
+        mean_ds = dataset
+    mean = get_label_mean(scene, task, dataset=mean_ds)
+    loader = Loader(dataset, batch_size=batch_size, shuffle=True)
+    logging.info("This training uses {:d} data points. {:d} iterations per epoch.".format(
+        len(dataset), len(dataset)))
+    return dataset, loader, mean
+
+
+def build_network(
+    scene: str,
+    task: str,
+    tiny: bool,
+    grayscale: bool,
+    uncertainty: Optional[str],
+    fullsize: bool,
+    mean,
+    num_mlr: int = 0,
+    num_unfrozen_encoder: int = 0,
+    dtype=None,
+):
+    """`config_network` parity (`utils/learning.py:266-305`)."""
+    import jax.numpy as jnp
+
+    if not ("urbanscape" in scene.lower() or "naturescape" in scene.lower()):
+        return models.VanillaNetwork(tiny=tiny, mean_init=list(np.asarray(mean)))
+    return models.build_network(
+        task,
+        uncertainty=uncertainty,
+        tiny=tiny,
+        grayscale=grayscale,
+        fullsize=fullsize,
+        num_mlr=num_mlr,
+        num_unfrozen_encoder=num_unfrozen_encoder,
+        mean=list(np.asarray(mean, dtype=np.float32)),
+        dtype=dtype or jnp.float32,
+    )
+
+
+def wire_mlr_weights(
+    params: dict,
+    model,
+    encoder_paths: Sequence[str],
+    reuse_coord_encoder: bool,
+) -> dict:
+    """Initialize an MLR model's params from task-pretrain `.net` weights.
+
+    Parity with `utils/learning.py:321-370`: the coord weight (first path)
+    initializes the decoder; the coord encoder is reused as the first MLR
+    encoder iff `reuse_coord_encoder`; remaining weights fill the other MLR
+    encoder slots. Freezing is enforced structurally by the model's
+    stop_gradient (num_unfrozen_encoder).
+    """
+    import torch
+
+    assert "coord" in os.path.abspath(encoder_paths[0]), "first weight must be the coord task"
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+
+    # a donor model with the single-encoder layout to convert each .net
+    donor = models.TransPoseNet(
+        num_task_channel=model.num_task_channel,
+        num_pos_channel=model.num_pos_channel,
+        tiny=model.tiny,
+        grayscale=model.grayscale,
+        enc_add_res_block=model.enc_add_res_block,
+        dec_add_res_block=model.dec_add_res_block,
+        num_mlr=0,
+        full_size_output=model.full_size_output,
+    )
+
+    enc_idx = 0
+    for i, path in enumerate(encoder_paths):
+        state = torch.load(path, map_location="cpu", weights_only=False)
+        # the donor's task head may differ (e.g. depth pretrain has 1+1
+        # channels) — convert the encoder subtree only, via a matching donor
+        donor_i = _donor_for_state(state, model)
+        donor_params = compat.torch_state_to_params(state, donor_i)
+        if i == 0:
+            # decoder channel layout always matches the target task
+            target_dec = compat.torch_state_to_params(state, donor)["decoder"]
+            params["decoder"] = target_dec
+            logging.info("Loaded coord weight for decoder init: %s", path)
+            if reuse_coord_encoder:
+                params[f"mlr_encoder_{enc_idx + 1}"] = donor_params["encoder"]
+                logging.info("Reused coord encoder as MLR encoder %d", enc_idx + 1)
+                enc_idx += 1
+        else:
+            params[f"mlr_encoder_{enc_idx + 1}"] = donor_params["encoder"]
+            logging.info("Loaded frozen encoder %d from %s", enc_idx + 1, path)
+            enc_idx += 1
+    if enc_idx != model.num_mlr:
+        raise ValueError(f"wired {enc_idx} encoders but model has num_mlr={model.num_mlr}")
+    return params
+
+
+def _donor_for_state(state, model):
+    """Build a single-encoder donor whose head matches a stored state dict."""
+    fc3_out = state["decoder.fc3.weight"].shape[0]
+    full_size = any(k.startswith("decoder.duc_upsample") for k in state)
+    # infer (task, pos) split: semantics (6, 0) is full-size; others use the
+    # stored decoder.mean length as the task channel count
+    task_ch = int(np.asarray(state["decoder.mean"]).shape[0])
+    return models.TransPoseNet(
+        num_task_channel=task_ch,
+        num_pos_channel=int(fc3_out) - task_ch,
+        tiny=model.tiny,
+        grayscale=model.grayscale,
+        enc_add_res_block=model.enc_add_res_block,
+        dec_add_res_block=model.dec_add_res_block,
+        num_mlr=0,
+        full_size_output=full_size,
+    )
+
+
+def infer_num_encoders(weight_path: str) -> int:
+    """Encoder count from the output-folder name, as the reference infers it
+    from the weight basename (`test_single_task.py:291-298`): count the
+    tasks named after 'decoder_' (+1 if the coord encoder was reused)."""
+    name = os.path.basename(os.path.dirname(os.path.abspath(weight_path)))
+    if "decoder_" not in name:
+        return 0
+    spec = name.split("decoder_")[1].split("-")[0]
+    parts = spec.split("_")
+    count = 0
+    skip_next = False
+    for p in parts:
+        if p in ("coord", "depth", "normal", "semantics"):
+            count += 1
+        # 'free'/'frozen' markers follow 'coord' and don't add encoders
+    return count
+
+
+__all__ = [
+    "build_network",
+    "build_train_loader",
+    "get_nodata_value",
+    "infer_num_encoders",
+    "resolve_train_roots",
+    "wire_mlr_weights",
+]

@@ -1,0 +1,307 @@
+"""Evaluate trained weights: pose via the fused net+RANSAC program, plus
+depth / normal / semantics metrics.
+
+Arg-compatible with the reference `test_single_task.py` (`:18-115`), with
+the same weight-discovery rules (`:118-221`), folder-name metadata decoding
+(`read_mata_info`, `:224-256`), per-section loop and results text formats.
+
+TPU-native differences: evaluation is batched (the reference pose solver is
+batch=1 only, `dsacstar.cpp:52`), and image->pose runs as ONE jit program
+instead of GPU-net -> host copy -> C++ plugin. Like the reference, eval
+images are the raw resized RGB tensors (`utils/evaluation.py:70-72`,
+raw_image=True — no normalization).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from typing import List, Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import compat, eval as evaluation, models, ransac
+from ..data import CamLocDataset, Loader
+from ..losses import get_nodata_value
+from . import common
+
+
+def config_parser():
+    parser = argparse.ArgumentParser(
+        description="Evaluate a scene coordinate regression network.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("scene", nargs="?", default=None)
+    parser.add_argument("--grayscale", "-grayscale", action="store_true")
+    parser.add_argument("--task", type=str, default=None)
+    parser.add_argument("--section", type=str, nargs="+", default=["val_drone_sim", "val_drone_real"])
+    parser.add_argument("--network_in", type=str, default=None)
+    parser.add_argument("--tiny", "-tiny", action="store_true")
+    parser.add_argument("--fullsize", "-fullsize", action="store_true")
+    parser.add_argument("--session", "-sid", default="")
+    parser.add_argument("--search_dir", action="store_true")
+    parser.add_argument("--min_ckpt_iter", default=None, type=float)
+    parser.add_argument("--max_ckpt_iter", default=None, type=float)
+    parser.add_argument("--keywords", default=None, nargs="+")
+    parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--save_pred", action="store_true")
+    parser.add_argument("--hypotheses", "-hyps", type=int, default=64)
+    parser.add_argument("--threshold", "-t", type=float, default=10)
+    parser.add_argument("--inlieralpha", "-ia", type=float, default=100)
+    parser.add_argument("--maxpixelerror", "-maxerrr", type=float, default=100)
+    parser.add_argument("--uncertainty", "-uncertainty", default=None, type=str)
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="eval batch size (framework extension; reference is 1)")
+    parser.add_argument("--datasets_dir", type=str, default="./datasets")
+    parser.add_argument("--image_height", type=int, default=480,
+                        help="standard input image height (framework extension)")
+    return parser
+
+
+def config_weight_path(
+    network_in: Union[str, list],
+    keywords=None,
+    search_dir: bool = False,
+    min_ckpt_iter: Optional[float] = None,
+    max_ckpt_iter: Optional[float] = None,
+) -> List[str]:
+    """Weight discovery rules of `test_single_task.py:118-221` — including
+    the reference quirk that setting min/max_ckpt_iter drops `model.net`
+    (only `ckpt_iter_*` files carry an iteration number)."""
+    if isinstance(network_in, list):
+        paths_in = sorted(os.path.abspath(p) for p in network_in)
+    else:
+        paths_in = [os.path.abspath(network_in)]
+
+    if search_dir:
+        assert len(paths_in) == 1 and os.path.isdir(paths_in[0])
+        src = paths_in[0]
+        paths_in = [os.path.join(src, d) for d in os.listdir(src)]
+
+    network_paths: List[str] = []
+    for path in paths_in:
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"Network input path {path} is not found.")
+        if os.path.isdir(path):
+            model_path = os.path.join(path, "model.net")
+            if os.path.exists(model_path):
+                network_paths.append(model_path)
+            network_paths += glob.glob(os.path.join(path, "ckpt_iter*.net"))
+        elif os.path.isfile(path):
+            base = os.path.basename(path)
+            if (base.startswith("model") or "ckpt_" in base) and base.endswith(".net"):
+                network_paths.append(path)
+
+    if keywords is not None:
+        if isinstance(keywords, str):
+            keywords = [keywords]
+        network_paths = sorted(
+            {p for p in network_paths if all(k in os.path.dirname(p) for k in keywords)}
+        )
+
+    def _iter_of(p):
+        return int(os.path.basename(p).split("_")[-1].replace(".net", ""))
+
+    if min_ckpt_iter is not None:
+        network_paths = [
+            p for p in network_paths
+            if "ckpt_iter_" in os.path.basename(p) and _iter_of(p) > min_ckpt_iter
+        ]
+    if max_ckpt_iter is not None:
+        network_paths = [
+            p for p in network_paths
+            if "ckpt_iter_" in os.path.basename(p) and _iter_of(p) < max_ckpt_iter
+        ]
+    network_paths.sort()
+    for idx, path in enumerate(network_paths):
+        print("Network weight #{:d}: {:s}".format(idx, path))
+    return network_paths
+
+
+def resolve_eval_roots(scene: str, section_keyword: str, datasets_dir: str = "./datasets"):
+    """Evaluation section resolution incl. the special aggregate keywords
+    (`utils/evaluation.py:36-62`)."""
+    direct = os.path.join(datasets_dir, scene, section_keyword)
+    if os.path.exists(direct):
+        return direct
+    specials = {
+        "test_real_all": ["val_drone_real", "test_drone_real"],
+        "real_all": ["val_drone_real", "test_drone_real", "train_drone_real"],
+        "test_sim_all": ["val_drone_sim", "val_sim", "test_drone_sim"],
+        "sim_all": ["val_drone_sim", "val_sim", "test_drone_sim", "train_sim"],
+    }
+    if section_keyword not in specials:
+        raise NotImplementedError(f"section {section_keyword} not found")
+    return [os.path.join(datasets_dir, scene, s) for s in specials[section_keyword]]
+
+
+def build_eval_loader(scene, task, grayscale, section, fullsize, batch_size, datasets_dir,
+                      image_height=480):
+    roots = resolve_eval_roots(scene, section, datasets_dir)
+    ds = CamLocDataset(
+        roots,
+        coord=task == "coord",
+        depth=task == "depth",
+        normal=task == "normal",
+        semantics=task == "semantics",
+        grayscale=grayscale,
+        raw_image=True,
+        image_height=image_height,
+    )
+    return ds, Loader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+
+
+def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, tiny,
+                     fullsize, uncertainty) -> str:
+    """Evaluate one weight file over all sections; returns the log path."""
+    nodata_value = get_nodata_value(scene)
+    num_enc = common.infer_num_encoders(network_path)
+    from ..data import get_label_mean
+
+    model = common.build_network(
+        scene, task, tiny, grayscale, uncertainty, fullsize,
+        np.zeros(models.task_channels(task), np.float32), num_mlr=num_enc,
+    )
+    params = compat.load_net(network_path, model)
+    print("Successfully loaded %s." % network_path)
+
+    cfg = ransac.RansacConfig(
+        hypotheses=opt.hypotheses,
+        inlier_threshold=opt.threshold,
+        inlier_alpha=opt.inlieralpha,
+        max_pixel_error=opt.maxpixelerror,
+        subsample=1 if fullsize else 8,
+    )
+    ntc = model.num_task_channel
+
+    @jax.jit
+    def forward(params, images):
+        preds = model.apply({"params": params}, images)
+        return preds[..., :ntc], preds[..., ntc:]
+
+    @jax.jit
+    def solve(coords, focal, key, image_hw):
+        return ransac.solve_batch(coords, focal, image_hw, key, cfg)
+
+    testing_log = os.path.join(
+        os.path.dirname(network_path),
+        "results_{:s}_task_{:s}.txt".format(os.path.basename(network_path), task),
+    )
+
+    for this_section in sections:
+        print("{:s} Evaluating over section {:s} {:s}".format("*" * 20, this_section, "*" * 20))
+        eval_set, loader = build_eval_loader(
+            scene, task, grayscale, this_section, fullsize, opt.batch_size, opt.datasets_dir,
+            opt.image_height,
+        )
+        if opt.save_pred:
+            pred_dir = os.path.abspath(os.path.join(
+                network_path, "../{:s}_pred_{:s}_{:s}".format(
+                    task, os.path.basename(network_path), this_section)))
+            os.makedirs(pred_dir, exist_ok=True)
+
+        t_err_ls, r_err_ls, est_xyz_ls, coords_error_ls = [], [], [], []
+        depth_ar_ls, depth_rms_ls, normal_err_ls = [], [], []
+        miou_ls, fwiou_ls, acc_ls = [], [], []
+        file_name_ls = []
+
+        key = jax.random.PRNGKey(2021)
+        for batch in loader:
+            images = jnp.asarray(batch["image"])
+            labels = jnp.asarray(
+                batch["semantics"][..., None].astype(np.float32)
+                if task == "semantics" else batch[task]
+            )
+            preds, unc = forward(params, images)
+            file_name_ls += [os.path.basename(f) for f in batch["file_name"]]
+
+            if task == "coord":
+                focal = float(batch["focal"][0])
+                key, sub = jax.random.split(key)
+                res = solve(preds, focal, sub, (images.shape[1], images.shape[2]))
+                for b in range(images.shape[0]):
+                    t_err, r_err = evaluation.pose_err(batch["pose"][b], res.cam_to_world[b])
+                    t_err_ls.append(t_err)
+                    r_err_ls.append(r_err)
+                    est_xyz_ls.append(np.asarray(res.cam_to_world[b][0:3, 3]))
+                    coords_error_ls.append(
+                        evaluation.coord_errors(preds[b][None], labels[b][None], nodata_value)
+                    )
+                    if opt.save_pred:
+                        fn = os.path.basename(batch["file_name"][b])
+                        np.savez(
+                            os.path.join(pred_dir, fn.replace(".png", ".npz")),
+                            coord_pred=np.transpose(np.asarray(preds[b]), (2, 0, 1)),
+                            coord_gt=np.transpose(np.asarray(labels[b]), (2, 0, 1)),
+                            coord_unc=np.asarray(unc[b][..., 0]) if unc.shape[-1] else None,
+                            pose_pred=np.asarray(res.cam_to_world[b]),
+                            pose_gt=batch["pose"][b],
+                            pose_t_err=t_err_ls[-1], pose_r_err=r_err_ls[-1],
+                        )
+            elif task == "depth":
+                ar, rms = evaluation.depth_eval(preds, labels, nodata_value)
+                depth_ar_ls.append(ar)
+                depth_rms_ls.append(rms)
+            elif task == "normal":
+                normal_err_ls.append(evaluation.normal_eval(preds, labels, nodata_value))
+            elif task == "semantics":
+                _, miou, fwiou, acc = evaluation.semantic_eval(preds, labels)
+                miou_ls.append(miou)
+                fwiou_ls.append(fwiou)
+                acc_ls.append(acc)
+            else:
+                raise NotImplementedError(task)
+
+        print("{:s} Evaluating over section {:s} is done!{:s}".format("*" * 20, this_section, "*" * 20))
+        if task == "coord":
+            evaluation.scene_coords_report(
+                t_err_ls, r_err_ls, est_xyz_ls, coords_error_ls, testing_log,
+                network_path, this_section, file_name_ls,
+            )
+        elif task == "depth":
+            evaluation.depth_report(depth_ar_ls, depth_rms_ls, testing_log, this_section)
+        elif task == "normal":
+            evaluation.normal_report(normal_err_ls, testing_log, this_section)
+        elif task == "semantics":
+            evaluation.semantic_report(acc_ls, miou_ls, fwiou_ls, testing_log, this_section)
+
+    print("Network testing finished. Please find the log at {:s}".format(testing_log))
+    return testing_log
+
+
+def main(argv=None):
+    opt = config_parser().parse_args(argv)
+    if opt.search_dir:
+        opt.scene = opt.grayscale = opt.task = opt.section = None
+        opt.tiny = opt.fullsize = opt.uncertainty = None
+        print("search_dir is ON. Model parameters would be read from the folder name...")
+    if isinstance(opt.uncertainty, str):
+        if opt.uncertainty.lower() == "none":
+            opt.uncertainty = None
+        elif opt.uncertainty.lower() == "mle":
+            opt.uncertainty = "MLE"
+
+    network_paths = config_weight_path(
+        opt.network_in, opt.keywords, opt.search_dir, opt.min_ckpt_iter, opt.max_ckpt_iter
+    )
+    for i, network_path in enumerate(network_paths):
+        if opt.search_dir:
+            folder = os.path.basename(os.path.dirname(network_path))
+            scene, grayscale, task, sections, tiny, fullsize, uncertainty = (
+                compat.read_meta_info(folder)
+            )
+        else:
+            scene, grayscale, task = opt.scene, opt.grayscale, opt.task
+            sections, tiny, fullsize, uncertainty = (
+                opt.section, opt.tiny, opt.fullsize, opt.uncertainty
+            )
+        evaluate_network(
+            opt, network_path, scene, grayscale, task, sections, tiny, fullsize, uncertainty
+        )
+
+
+if __name__ == "__main__":
+    main()

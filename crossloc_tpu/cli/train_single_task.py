@@ -1,0 +1,224 @@
+"""Train a single-task network (encoder pretraining / fine-tuning).
+
+Arg-compatible with the reference `train_single_task.py` (same flags,
+`:22-135`; same output-dir grammar, `:138-186`; same log-line / snapshot /
+checkpoint contract, `:303-329`). The loop body is one fused jit program:
+device-side augmentation + forward + task loss + Adam update.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import compat
+from ..data import AugmentConfig, augment_batch
+from ..losses import CoordLossConfig, DepthLossConfig, NormalLossConfig, get_nodata_value
+from ..train import TrainBatch, TrainState, create_train_state, make_optimizer, make_train_step
+from ..utils import config_log, read_training_log
+from . import common
+
+
+def config_parser(description="Initialize a scene coordinate regression network."):
+    """Reference argparse surface (`train_single_task.py:22-135`)."""
+    parser = argparse.ArgumentParser(
+        description=description, formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("scene", help="name of a scene in the dataset folder")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--grayscale", "-grayscale", action="store_true")
+    parser.add_argument("--real_data_domain", type=str, default="in_place")
+    parser.add_argument("--real_data_chunk", type=float, default=1.0)
+    parser.add_argument("--real_only", action="store_true")
+    parser.add_argument("--sim_data_chunk", type=float, default=1.0)
+    parser.add_argument("--task", type=str, required=True)
+    parser.add_argument("--epoch_plus", "-epoch_plus", action="store_true")
+    parser.add_argument("--network_in", type=str, default=None)
+    parser.add_argument("--tiny", "-tiny", action="store_true")
+    parser.add_argument("--fullsize", "-fullsize", action="store_true")
+    parser.add_argument("--epochs", "-e", type=int, default=50)
+    parser.add_argument("--learningrate", "-lr", type=float, default=0.0002)
+    parser.add_argument("--no_lr_scheduling", action="store_true")
+    parser.add_argument("--session", "-sid", default="")
+    parser.add_argument("--ckpt_dir", type=str, default="")
+    parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--inittolerance", "-itol", type=float, default=50.0)
+    parser.add_argument("--mindepth", "-mind", type=float, default=0.1)
+    parser.add_argument("--softclamp", "-sc", type=float, default=100)
+    parser.add_argument("--hardclamp", "-hc", type=float, default=1000)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--uncertainty", "-uncertainty", default=None, type=str)
+    parser.add_argument("--datasets_dir", type=str, default="./datasets",
+                        help="dataset root directory (framework extension)")
+    parser.add_argument("--image_height", type=int, default=480,
+                        help="standard input image height (framework extension)")
+    return parser
+
+
+def normalize_opt(opt):
+    if isinstance(opt.uncertainty, str):
+        if opt.uncertainty.lower() == "none":
+            opt.uncertainty = None
+        elif opt.uncertainty.lower() == "mle":
+            opt.uncertainty = "MLE"
+    assert opt.uncertainty in (None, "MLE"), f"--uncertainty {opt.uncertainty} is not supported!"
+    assert opt.real_data_domain in ("in_place", "out_of_place")
+    if opt.real_only:
+        assert opt.sim_data_chunk == 0
+    return opt
+
+
+def get_output_path(opt, project_dir=None):
+    name = compat.train_output_name(
+        opt.scene, opt.task, session=opt.session, grayscale=opt.grayscale,
+        uncertainty=opt.uncertainty, fullsize=opt.fullsize, epochs=opt.epochs,
+        learning_rate=opt.learningrate, real_data_chunk=opt.real_data_chunk,
+        sim_data_chunk=opt.sim_data_chunk, real_data_domain=opt.real_data_domain,
+        real_only=opt.real_only, tiny=opt.tiny, network_in=opt.network_in,
+        debug=opt.debug,
+    )
+    project_dir = project_dir or os.getcwd()
+    return os.path.abspath(os.path.join(project_dir, "output", name))
+
+
+def select_labels(batch: dict, task: str):
+    if task == "semantics":
+        return batch["semantics"][..., None].astype(np.float32)
+    return batch[task]
+
+
+def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None):
+    """The training loop shared by train/finetune entry points."""
+    nodata_value = get_nodata_value(opt.scene)
+
+    trainset, loader, mean = common.build_train_loader(
+        opt.scene, opt.task, opt.grayscale, opt.real_data_domain, opt.real_data_chunk,
+        opt.sim_data_chunk, opt.fullsize, opt.batch_size, opt.real_only, opt.datasets_dir,
+        opt.image_height,
+    )
+    steps_per_epoch = max(len(loader), 1)
+
+    if model is None:
+        model = common.build_network(
+            opt.scene, opt.task, opt.tiny, opt.grayscale, opt.uncertainty,
+            opt.fullsize, mean,
+        )
+    tx = make_optimizer(opt.learningrate, steps_per_epoch, opt.no_lr_scheduling)
+
+    sample = trainset.collate([0])
+    example = jnp.asarray(sample["image"][:1])
+    if opt.grayscale:
+        from ..data import to_grayscale
+
+        example = to_grayscale(example)
+    state = create_train_state(model, tx, example)
+    if init_params is not None:
+        state = state._replace(params=init_params)
+    if opt.network_in is not None:
+        state = state._replace(params=compat.load_net(opt.network_in, model))
+        logging.info("Successfully loaded %s." % opt.network_in)
+
+    model_path = os.path.join(output_dir, "model.net")
+    save_period = 1 if opt.task == "semantics" else 5
+
+    aug_cfg = AugmentConfig(grayscale=opt.grayscale, nodata_value=nodata_value)
+    coord_cfg = CoordLossConfig(
+        min_depth=opt.mindepth, soft_clamp=opt.softclamp, hard_clamp=opt.hardclamp,
+        init_tolerance=opt.inittolerance, nodata_value=nodata_value,
+    )
+    depth_cfg = DepthLossConfig(
+        min_depth=opt.mindepth, hard_clamp=opt.hardclamp, nodata_value=nodata_value
+    )
+    normal_cfg = NormalLossConfig(hard_clamp=opt.hardclamp, nodata_value=nodata_value)
+    train_step = make_train_step(
+        model, tx, opt.task, opt.uncertainty, nodata_value, coord_cfg, depth_cfg, normal_cfg
+    )
+
+    @jax.jit
+    def fused_step(state: TrainState, images, labels, poses, focal, key):
+        images, labels, poses, focal = augment_batch(
+            images, labels, poses, focal, key, aug_cfg, semantics=opt.task == "semantics"
+        )
+        return train_step(
+            state, TrainBatch(images=images, poses=poses, labels=labels, focal=focal)
+        )
+
+    # resume bookkeeping (`train_single_task.py:220-233`)
+    if opt.auto_resume or opt.epoch_plus:
+        iteration, start_epoch = read_training_log(
+            os.path.join(os.path.dirname(opt.network_in), "output.log"), len(trainset)
+        )
+        save_counter = (start_epoch + 1) * len(trainset)
+        epoch_de_facto = start_epoch
+        last_ckpt_iteration = (start_epoch // 5 * 5) * len(trainset)
+        state = state._replace(step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32))
+    else:
+        iteration, start_epoch, save_counter, epoch_de_facto, last_ckpt_iteration = 0, 0, 0, 0, 0
+
+    key = jax.random.PRNGKey(2021)
+    for epoch in range(opt.epochs):
+        if epoch < start_epoch:
+            continue
+        logging.info("=== Epoch: %d ======================================" % epoch)
+        for batch in loader:
+            start_time = time.time()
+            labels = select_labels(batch, opt.task)
+            key, sub = jax.random.split(key)
+            state, metrics = fused_step(
+                state,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(labels),
+                jnp.asarray(batch["pose"]),
+                jnp.asarray(batch["focal"][0]),
+                sub,
+            )
+            loss = float(metrics["loss"])
+            valid_rate = float(metrics["valid_rate"])
+
+            batch_size = batch["image"].shape[0]
+            time_avg = (time.time() - start_time) / batch_size
+            iteration += batch_size
+            logging.info(
+                "Iteration: %7d, Epoch: %3d, Total loss: %.2f, Valid: %.1f%%, Avg Time: %.3fs"
+                % (iteration, epoch, loss, valid_rate * 100, time_avg)
+            )
+
+            if iteration > save_counter:
+                logging.info("Saving snapshot of the network to %s." % model_path)
+                compat.save_net(model_path, jax.device_get(state.params), model)
+                save_counter = iteration + len(trainset)
+                epoch_de_facto += 1
+
+            if iteration > last_ckpt_iteration + save_period * len(trainset) or last_ckpt_iteration == 0:
+                compat.save_net(
+                    os.path.join(ckpt_output_dir, "ckpt_iter_{:07d}.net".format(iteration)),
+                    jax.device_get(state.params),
+                    model,
+                )
+                last_ckpt_iteration = iteration
+
+        logging.info("Saving snapshot of the network to %s." % model_path)
+        compat.save_net(model_path, jax.device_get(state.params), model)
+
+    logging.info("Done without errors.")
+    for d in (output_dir, ckpt_output_dir):
+        with open(os.path.join(d, "FLAG_training_done.nodata"), "w") as f:
+            f.write("")
+    return state
+
+
+def main(argv=None):
+    opt = normalize_opt(config_parser().parse_args(argv))
+    output_dir, ckpt_output_dir = config_log(opt, get_output_path(opt))
+    run_training(opt, output_dir, ckpt_output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Training-curve / pose-error visualization (parity with `visualize.py`).
+
+Extracts per-iteration loss and valid-rate from `output.log` by regex
+(`visualize.py:40-78`), plots moving-average curves, and renders CDF
+histograms of pose errors from `*_out_xyz_poses` eval dumps
+(`visualize.py:159-204`).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+from typing import List, Tuple
+
+import numpy as np
+
+
+LOG_PATTERN = (
+    r"Iteration:\s+(?P<iter>\d+), Epoch:\s+(?P<epoch>\d+), Total loss:\s+"
+    r"(?P<loss>[-\d.]+), Valid:\s+(?P<valid>[\d.]+)%, Avg Time:\s+(?P<time>[\d.]+)s"
+)
+
+
+def parse_training_log(log_path: str) -> dict:
+    """Extract iteration / epoch / loss / valid-rate / time series."""
+    with open(log_path) as f:
+        text = f.read()
+    rows = re.findall(LOG_PATTERN, text)
+    if not rows:
+        return {k: np.zeros(0) for k in ("iteration", "epoch", "loss", "valid_rate", "time")}
+    arr = np.asarray([[float(x) for x in row] for row in rows])
+    return {
+        "iteration": arr[:, 0],
+        "epoch": arr[:, 1],
+        "loss": arr[:, 2],
+        "valid_rate": arr[:, 3],
+        "time": arr[:, 4],
+    }
+
+
+def moving_average(x: np.ndarray, w: int = 100) -> np.ndarray:
+    if len(x) == 0:
+        return x
+    w = max(1, min(w, len(x)))
+    return np.convolve(x, np.ones(w) / w, mode="valid")
+
+
+def plot_training_curves(log_path: str, out_path: str = None, window: int = 100):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = parse_training_log(log_path)
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+    for ax, key, label in zip(axes, ("loss", "valid_rate"), ("Total loss", "Valid rate (%)")):
+        y = moving_average(series[key], window)
+        x = series["iteration"][len(series[key]) - len(y):]
+        ax.plot(x, y)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel(label)
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    out_path = out_path or os.path.join(os.path.dirname(os.path.abspath(log_path)), "training_curves.png")
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_pose_error_cdf(t_errs, r_errs, out_path: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+    for ax, errs, label in zip(axes, (t_errs, r_errs), ("translation error (m)", "rotation error (deg)")):
+        e = np.sort(np.asarray(errs))
+        cdf = np.arange(1, len(e) + 1) / len(e)
+        ax.plot(e, cdf)
+        ax.set_xlabel(label)
+        ax.set_ylabel("CDF")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--log", type=str, default=None, help="path to output.log")
+    parser.add_argument("--window", type=int, default=100, help="moving-average window")
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args(argv)
+    if args.log:
+        out = plot_training_curves(args.log, args.out, args.window)
+        print("Saved training curves to", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,31 @@ is differentiable in JAX, so the ~480 lines of C++ Jacobian code vanish.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def _grad_firewall(x):
+    """Identity forward; backward replaces non-finite cotangents with 0 and
+    clamps magnitude. jnp.linalg.svd's backward is NaN for repeated /
+    degenerate singular values (e.g. duplicate points in a 3-point minimal
+    set); the reference detects that case and falls back to finite
+    differences (`dsacstar_util_rgbd.h:410-458`) — dropping those gradients
+    is the autodiff-native equivalent."""
+    return x
+
+
+def _fw_fwd(x):
+    return x, None
+
+
+def _fw_bwd(_, g):
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    return (jnp.clip(g, -1e6, 1e6),)
+
+
+_grad_firewall.defvjp(_fw_fwd, _fw_bwd)
 
 
 def kabsch(src, dst, weights=None):
@@ -18,6 +42,8 @@ def kabsch(src, dst, weights=None):
     Handedness correction via sign(det) matches the reference
     (`dsacstar_util_rgbd.h:237-387`, standard Kabsch).
     """
+    src = _grad_firewall(src)
+    dst = _grad_firewall(dst)
     if weights is None:
         weights = jnp.ones(src.shape[:-1], dtype=src.dtype)
     wsum = jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-12)

@@ -14,6 +14,7 @@ Implemented from the paper's math; no code ported.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .se3 import orthonormalize
@@ -31,6 +32,28 @@ def _safe_cbrt(x, eps=1e-12):
     """Signed cube root with zero (not inf) gradient in the dead zone."""
     ax = jnp.maximum(jnp.abs(x), eps)
     return jnp.sign(x) * ax ** (1.0 / 3.0)
+
+
+@jax.custom_vjp
+def _grad_firewall(x):
+    """Identity forward; backward sanitizes cotangents: non-finite -> 0,
+    magnitude clamped. Degenerate minimal sets carry no useful gradient
+    signal, and the reference's hand-written backward does the same thing —
+    it zeroes unstable jacobians (`dsacstar.cpp:411-412`,
+    `dsacstar_derivative.h:288`)."""
+    return x
+
+
+def _firewall_fwd(x):
+    return x, None
+
+
+def _firewall_bwd(_, g):
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    return (jnp.clip(g, -1e6, 1e6),)
+
+
+_grad_firewall.defvjp(_firewall_fwd, _firewall_bwd)
 
 
 def _det3(A):
@@ -138,6 +161,8 @@ def p3p_lambdatwist(X, y):
     x_cam = R x_world + t (w2c, OpenCV convention).
     """
     dtype = X.dtype
+    X = _grad_firewall(X)
+    y = _grad_firewall(y)
     x1, x2, x3 = X[..., 0, :], X[..., 1, :], X[..., 2, :]
     y1, y2, y3 = y[..., 0, :], y[..., 1, :], y[..., 2, :]
 
@@ -220,10 +245,14 @@ def p3p_lambdatwist(X, y):
     # steps) produces NaN *gradients* even though the candidates are masked
     # out — a zero cotangent times a NaN partial is still NaN. Replacing the
     # triplet keeps every forward value (and thus every partial) finite.
+    # Depth bound: the supported scene domain caps depths at ~1e3 m (the
+    # reference marks depth > 1000 invalid, `dataloader/dataloader.py:483`);
+    # 3e4 leaves 30x headroom while keeping the polish algebra below the
+    # fp32 overflow point (the adjugate solve scales like lambda^7).
     lam_sane = (
         jnp.all(jnp.isfinite(lam), axis=-1)
         & jnp.all(lam > _EPS, axis=-1)
-        & jnp.all(lam < 1e7, axis=-1)
+        & jnp.all(lam < 3e4, axis=-1)
     )
     lam = jnp.where(lam_sane[..., None], lam, 1.0)
 
@@ -264,11 +293,11 @@ def p3p_lambdatwist(X, y):
         solvable = jnp.abs(detJ) > 1e-9
         det_s = jnp.where(solvable, detJ, 1.0)
         step = jnp.einsum("...ij,...j->...i", adjT, Jtr) / det_s[..., None]
-        step = jnp.clip(step, -1e5, 1e5)
+        step = jnp.clip(step, -1e4, 1e4)
         lam = jnp.where((lam_sane & solvable)[..., None], lam - step, lam)
-        lam = jnp.clip(lam, -1e6, 1e6)
+        lam = jnp.clip(lam, -3e4, 3e4)
 
-    lam = jnp.clip(lam, -1e7, 1e7)  # polish may still step far on bad sets
+    lam = jnp.clip(lam, -3e4, 3e4)  # polish may still step far on bad sets
     lam_ok = lam_sane & jnp.all(lam > _EPS, axis=-1)
 
     # pose assembly from camera-frame points z_i = lambda_i y_i

@@ -103,7 +103,12 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         opt.sim_data_chunk, opt.fullsize, opt.batch_size, opt.real_only, opt.datasets_dir,
         opt.image_height,
     )
-    steps_per_epoch = max(len(loader), 1)
+    if len(loader) == 0:
+        raise ValueError(
+            f"batch_size {opt.batch_size} exceeds dataset size {len(trainset)}: "
+            "no full batch can be formed (drop_last); reduce --batch_size"
+        )
+    steps_per_epoch = len(loader)
 
     if model is None:
         model = common.build_network(

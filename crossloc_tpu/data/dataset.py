@@ -45,13 +45,32 @@ GRAY_STD = np.array([0.1724], np.float32)
 
 def _load_image(path: str) -> np.ndarray:
     """Decode to float32 RGB [H, W, 3] in [0, 1]; gray->RGB, RGBA->RGB
-    (`dataloader/dataloader.py:310-316`)."""
+    (`dataloader/dataloader.py:310-316`). PIL fallback path; the fast path
+    goes through the native C++ decoder (see `_load_image_resized`)."""
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGB")
         arr = np.asarray(im, dtype=np.float32) / 255.0
     return arr
+
+
+def _load_image_resized(path: str, image_height: int):
+    """(image [image_height, W', 3] float32, f_scale) — native C++ decode +
+    resize when available (GIL-free under the thread-pool loader), PIL
+    otherwise."""
+    from .. import native
+
+    if native.available():
+        dims = native.image_dims(path)
+        if dims is not None:
+            h, w = dims
+            img = native.load_image_std_height(path, image_height)
+            if img is not None:
+                return img, image_height / h
+    img = _load_image(path)
+    f_scale = image_height / img.shape[0]
+    return _resize_height(img, image_height), f_scale
 
 
 def _resize_height(img: np.ndarray, height: int) -> np.ndarray:
@@ -169,9 +188,7 @@ class CamLocDataset:
         return np.transpose(t, (1, 2, 0)).astype(np.float32)
 
     def __getitem__(self, idx: int) -> CamLocItem:
-        img = _load_image(self.rgb_files[idx])
-        f_scale = self.image_height / img.shape[0]
-        img = _resize_height(img, self.image_height)
+        img, f_scale = _load_image_resized(self.rgb_files[idx], self.image_height)
         focal = float(np.loadtxt(self.calib_files[idx])) * f_scale
         pose = np.loadtxt(self.pose_files[idx]).astype(np.float32)
 

@@ -1,4 +1,5 @@
-"""Training: jitted step, optimizer/schedule, state."""
+"""Training: jitted step, optimizer/schedule, state, native checkpoints."""
+from .checkpoint import latest_state_file, load_train_state, save_train_state
 from .step import (
     TrainBatch,
     TrainState,
@@ -11,6 +12,9 @@ from .step import (
 
 __all__ = [
     "TrainBatch",
+    "latest_state_file",
+    "load_train_state",
+    "save_train_state",
     "TrainState",
     "create_train_state",
     "make_optimizer",

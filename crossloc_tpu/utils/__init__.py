@@ -1,4 +1,5 @@
 """Runtime utilities: logging, resume, directories, seeding, profiling."""
+from .profiling import StopWatch, device_sync, timeit, trace
 from .io import (
     check_encoders,
     config_directory,
@@ -11,7 +12,11 @@ from .io import (
 )
 
 __all__ = [
+    "StopWatch",
     "check_encoders",
+    "device_sync",
+    "timeit",
+    "trace",
     "config_directory",
     "config_log",
     "get_epoch_from_dirname",

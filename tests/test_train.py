@@ -75,3 +75,32 @@ class TestGraftEntry:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(4)
+
+
+class TestCheckpoint:
+    def test_full_state_round_trip(self, rng, tmp_path):
+        from crossloc_tpu.train import (
+            load_train_state, save_train_state, latest_state_file,
+        )
+
+        model = models.build_network("coord", uncertainty="MLE", mean=[0.0, 0.0, 0.0])
+        tx = train.make_optimizer(1e-4, steps_per_epoch=10)
+        batch = synth_batch(rng)
+        state = train.create_train_state(model, tx, batch.images)
+        step = jax.jit(train.make_train_step(model, tx, "coord", uncertainty="MLE"))
+        for _ in range(3):
+            state, m = step(state, batch)
+
+        path = save_train_state(str(tmp_path / "model.net"), state)
+        template = train.create_train_state(model, tx, batch.images)
+        restored = load_train_state(path, template)
+        assert int(restored.step) == 3
+        # optimizer moments restored exactly -> identical next update
+        s1, m1 = step(state, batch)
+        s2, m2 = step(restored, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+        leaves1 = jax.tree_util.tree_leaves(s1.params)
+        leaves2 = jax.tree_util.tree_leaves(s2.params)
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        assert latest_state_file(str(tmp_path)) == path

@@ -1,6 +1,7 @@
 """Model family: TransPose encoder/decoder FCNs (+MLR), vanilla DSAC* net."""
 from .layers import (
     ConvGN,
+    GroupNormFused,
     DenseUpsamplingConv,
     MLRConcatenator,
     MLRSkip,
@@ -21,6 +22,7 @@ from .vanilla import VanillaNetwork
 
 __all__ = [
     "ConvGN",
+    "GroupNormFused",
     "DenseUpsamplingConv",
     "MLRConcatenator",
     "MLRSkip",

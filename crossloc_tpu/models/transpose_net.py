@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from .layers import (
     ConvGN,
+    GroupNormFused,
     DenseUpsamplingConv,
     MLRConcatenator,
     MLRSkip,
@@ -60,19 +61,19 @@ class TransPoseEncoder(nn.Module):
     def __call__(self, x):
         mid, wide = _widths(self.tiny)
         g = self.num_groups
-        x = nn.relu(ConvGN(g, 3, 1, g, self.dtype, name="stem1")(x))
-        x = nn.relu(ConvGN(64, 3, 2, g, self.dtype, name="stem2")(x))
-        x = nn.relu(ConvGN(128, 3, 2, g, self.dtype, name="stem3")(x))
-        res = nn.relu(ConvGN(mid, 3, 2, g, self.dtype, name="stem4")(x))
+        x = ConvGN(g, 3, 1, g, self.dtype, relu=True, name="stem1")(x)
+        x = ConvGN(64, 3, 2, g, self.dtype, relu=True, name="stem2")(x)
+        x = ConvGN(128, 3, 2, g, self.dtype, relu=True, name="stem3")(x)
+        res = ConvGN(mid, 3, 2, g, self.dtype, relu=True, name="stem4")(x)
 
         x = res
         for i, k in enumerate((3, 1, 3)):
-            x = nn.relu(ConvGN(mid, k, 1, g, self.dtype, name=f"res1_{i + 1}")(x))
+            x = ConvGN(mid, k, 1, g, self.dtype, relu=True, name=f"res1_{i + 1}")(x)
         res = nn.relu(res + x)
 
         x = res
         for i, k in enumerate((3, 1, 3)):
-            x = nn.relu(ConvGN(wide, k, 1, g, self.dtype, name=f"res2_{i + 1}")(x))
+            x = ConvGN(wide, k, 1, g, self.dtype, relu=True, name=f"res2_{i + 1}")(x)
         if not self.tiny:
             res = ConvGN(wide, 1, 1, g, self.dtype, name="res2_skip")(res)
         res = nn.relu(res + x)
@@ -110,11 +111,11 @@ class TransPoseDecoder(nn.Module):
 
         x = res
         for i in range(3):
-            x = nn.relu(ConvGN(wide, 1, 1, g, self.dtype, name=f"res3_{i + 1}")(x))
+            x = ConvGN(wide, 1, 1, g, self.dtype, relu=True, name=f"res3_{i + 1}")(x)
         res = nn.relu(res + x)
 
-        sc = nn.relu(ConvGN(wide, 1, 1, g, self.dtype, name="fc1")(res))
-        sc = nn.relu(ConvGN(wide, 1, 1, g, self.dtype, name="fc2")(sc))
+        sc = ConvGN(wide, 1, 1, g, self.dtype, relu=True, name="fc1")(res)
+        sc = ConvGN(wide, 1, 1, g, self.dtype, relu=True, name="fc2")(sc)
 
         out_ch = self.num_task_channel + self.num_pos_channel
         if self.full_size_output:
@@ -193,9 +194,10 @@ class TransPoseNet(nn.Module):
                 acts.append(a)
             mlr = jnp.concatenate(acts, axis=-1)  # [B, h, w, wide * num_mlr]
             res = MLRSkip(wide, g, self.dtype, name="mlr_skip")(mlr)
-            mlr = nn.GroupNorm(num_groups=g, dtype=jnp.float32, name="mlr_norm")(
-                mlr.astype(jnp.float32)
-            ).astype(self.dtype)
+            from .layers import GN_EPS
+
+            mlr = nn.GroupNorm(num_groups=g, epsilon=GN_EPS, dtype=jnp.float32,
+                               name="mlr_norm")(mlr.astype(jnp.float32)).astype(self.dtype)
             mlr = MLRConcatenator(wide, g, self.dtype, name="mlr_forward")(mlr)
             res = nn.relu(res + mlr)
 
@@ -228,10 +230,10 @@ class ProjHead(nn.Module):
     def __call__(self, x):
         _, wide = _widths(self.tiny)
         g = self.num_groups
-        x = nn.relu(ConvGN(wide, 3, 2, g, self.dtype, name="proj1")(x))
-        x = nn.relu(ConvGN(wide, 3, 2, g, self.dtype, name="proj2")(x))
-        x = nn.relu(ConvGN(wide, 3, 2, g, self.dtype, name="proj3")(x))
-        x = nn.relu(ConvGN(self.out_length, 1, 1, g, self.dtype, name="proj4")(x))
+        x = ConvGN(wide, 3, 2, g, self.dtype, relu=True, name="proj1")(x)
+        x = ConvGN(wide, 3, 2, g, self.dtype, relu=True, name="proj2")(x)
+        x = ConvGN(wide, 3, 2, g, self.dtype, relu=True, name="proj3")(x)
+        x = ConvGN(self.out_length, 1, 1, g, self.dtype, relu=True, name="proj4")(x)
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 

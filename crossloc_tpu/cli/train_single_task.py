@@ -59,6 +59,9 @@ def config_parser(description="Initialize a scene coordinate regression network.
                         help="dataset root directory (framework extension)")
     parser.add_argument("--image_height", type=int, default=480,
                         help="standard input image height (framework extension)")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="data-parallel device count over a jax Mesh "
+                             "(framework extension; reference is single-GPU)")
     return parser
 
 
@@ -146,6 +149,21 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         model, tx, opt.task, opt.uncertainty, nodata_value, coord_cfg, depth_cfg, normal_cfg
     )
 
+    # data parallelism: batch sharded over the "data" mesh axis; XLA emits
+    # the gradient all-reduce (the reference is single-GPU, SURVEY.md 2.3)
+    mesh = None
+    if getattr(opt, "num_devices", 1) > 1:
+        from .. import parallel
+
+        devices = jax.devices()[: opt.num_devices]
+        if len(devices) < opt.num_devices:
+            raise ValueError(f"requested {opt.num_devices} devices, found {len(devices)}")
+        if opt.batch_size % opt.num_devices != 0:
+            raise ValueError("batch_size must be divisible by num_devices")
+        mesh = parallel.make_mesh(devices, data=opt.num_devices, spatial=1)
+        state = parallel.replicate(mesh, state)
+        logging.info("Data-parallel training over %d devices", opt.num_devices)
+
     @jax.jit
     def fused_step(state: TrainState, images, labels, poses, focal, key):
         images, labels, poses, focal = augment_batch(
@@ -154,6 +172,13 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         return train_step(
             state, TrainBatch(images=images, poses=poses, labels=labels, focal=focal)
         )
+
+    def shard(arrays):
+        if mesh is None:
+            return arrays
+        from .. import parallel
+
+        return parallel.shard_batch(mesh, arrays)
 
     # resume bookkeeping (`train_single_task.py:220-233`)
     if opt.auto_resume or opt.epoch_plus:
@@ -176,13 +201,11 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
             start_time = time.time()
             labels = select_labels(batch, opt.task)
             key, sub = jax.random.split(key)
+            sharded = shard(
+                (jnp.asarray(batch["image"]), jnp.asarray(labels), jnp.asarray(batch["pose"]))
+            )
             state, metrics = fused_step(
-                state,
-                jnp.asarray(batch["image"]),
-                jnp.asarray(labels),
-                jnp.asarray(batch["pose"]),
-                jnp.asarray(batch["focal"][0]),
-                sub,
+                state, *sharded, jnp.asarray(batch["focal"][0]), sub
             )
             loss = float(metrics["loss"])
             valid_rate = float(metrics["valid_rate"])

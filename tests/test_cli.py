@@ -216,3 +216,18 @@ class TestFinetuneCLI:
             np.asarray(donor["encoder.conv1.weight"]),
             atol=1e-6,
         )
+
+
+class TestMultiDeviceCLI:
+    def test_data_parallel_training(self, workspace, monkeypatch):
+        """Full train CLI over the 8-device virtual CPU mesh."""
+        monkeypatch.chdir(workspace)
+        train_cli.main(common_train_args(workspace, "coord", [
+            "--uncertainty", "MLE", "--session", "dp",
+            "--batch_size", "4", "--num_devices", "4",
+        ]))
+        out = (workspace / "output" /
+               "urbanscape-coord-sdp-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny")
+        assert (out / "FLAG_training_done.nodata").exists()
+        log = (out / "output.log").read_text()
+        assert "Data-parallel training over 4 devices" in log

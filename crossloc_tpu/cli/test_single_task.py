@@ -248,10 +248,17 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
             elif task == "normal":
                 normal_err_ls.append(evaluation.normal_eval(preds, labels, nodata_value))
             elif task == "semantics":
-                _, miou, fwiou, acc = evaluation.semantic_eval(preds, labels)
+                pred_cls, miou, fwiou, acc = evaluation.semantic_eval(preds, labels)
                 miou_ls.append(miou)
                 fwiou_ls.append(fwiou)
                 acc_ls.append(acc)
+                if opt.plot:
+                    from .visualize import semantic_plotter
+
+                    semantic_plotter(
+                        np.asarray(images), pred_cls, np.asarray(labels),
+                        network_path, this_section, len(acc_ls) - 1,
+                    )
             else:
                 raise NotImplementedError(task)
 

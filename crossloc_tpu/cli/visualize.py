@@ -87,6 +87,35 @@ def plot_pose_error_cdf(t_errs, r_errs, out_path: str):
     return out_path
 
 
+def semantic_plotter(image, class_prediction, gt_label, network_path, section, batch_idx):
+    """Qualitative semantics grid: RGB | prediction | ground truth
+    (parity with `semantic_plotter`, `utils/evaluation.py:417-445`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    image = np.asarray(image)
+    class_prediction = np.asarray(class_prediction)
+    gt_label = np.asarray(gt_label)
+    if gt_label.ndim == 4:
+        gt_label = gt_label[..., 0]
+    B = image.shape[0]
+    fig, axes = plt.subplots(B, 3, figsize=(9, 3 * B), squeeze=False)
+    for row in range(B):
+        axes[row, 0].imshow(np.clip(image[row], 0, 1))
+        axes[row, 1].imshow(class_prediction[row], vmin=0, vmax=6)
+        axes[row, 2].imshow(gt_label[row], vmin=0, vmax=6)
+        for col in range(3):
+            axes[row, col].axis("off")
+    plt.subplots_adjust(wspace=0.01, hspace=0.01)
+    out = os.path.abspath(os.path.join(
+        network_path, "..", "sm_section_{:s}_batch_{:d}.png".format(section, batch_idx)))
+    fig.savefig(out, bbox_inches="tight", pad_inches=0.1, dpi=150)
+    plt.close(fig)
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--log", type=str, default=None, help="path to output.log")

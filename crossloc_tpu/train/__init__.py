@@ -1,5 +1,6 @@
 """Training: jitted step, optimizer/schedule, state, native checkpoints."""
 from .checkpoint import latest_state_file, load_train_state, save_train_state
+from .dsac_step import make_dsac_train_step
 from .step import (
     TrainBatch,
     TrainState,
@@ -15,6 +16,7 @@ __all__ = [
     "latest_state_file",
     "load_train_state",
     "save_train_state",
+    "make_dsac_train_step",
     "TrainState",
     "create_train_state",
     "make_optimizer",

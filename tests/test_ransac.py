@@ -170,3 +170,37 @@ class TestRgbd:
         )
         t_err, r_err = pose_errors(res.cam_to_world, gt)
         assert t_err.max() < 0.05 and r_err.max() < 0.05
+
+
+class TestCv2Oracle:
+    def test_matches_cv2_solvepnpransac(self, rng):
+        """External oracle: on the same noisy/outlier data, our solver's
+        pose errors must be in the same class as OpenCV's RANSAC PnP."""
+        import cv2
+
+        coords, gt = synth_scene(rng, B=4, noise=1.0, outlier_frac=0.2)
+        res = ransac.solve_batch(coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(5))
+        t_ours, r_ours = pose_errors(res.cam_to_world, gt)
+
+        K = np.asarray(geo.intrinsics(FOCAL, IMG_W, IMG_H), np.float64)
+        grid = np.asarray(geo.pixel_grid(HS, WS, 8), np.float64).reshape(-1, 2)
+        t_cv, r_cv = [], []
+        for b in range(coords.shape[0]):
+            obj = np.asarray(coords[b], np.float64).reshape(-1, 3)
+            ok, rvec, tvec, _ = cv2.solvePnPRansac(
+                obj, grid, K, None, iterationsCount=64, reprojectionError=10.0,
+                flags=cv2.SOLVEPNP_P3P,
+            )
+            assert ok
+            R = cv2.Rodrigues(rvec)[0]
+            c2w = np.eye(4)
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = (-R.T @ tvec).ravel()
+            t_cv.append(np.linalg.norm(c2w[:3, 3] - np.asarray(gt[b])[:3, 3]))
+            r_cv.append(float(geo.rotation_angle_deg(
+                jnp.asarray(c2w[:3, :3]), gt[b][:3, :3])))
+        # medians within 3x of each other (RANSAC stochasticity + our GN
+        # refinement vs cv2's iterative refinement differ in detail)
+        assert np.median(t_ours) < max(3.0 * np.median(t_cv), 3.0), (
+            f"ours {np.median(t_ours):.2f}m vs cv2 {np.median(t_cv):.2f}m")
+        assert np.median(r_ours) < max(3.0 * np.median(r_cv), 2.0)

@@ -17,7 +17,7 @@ from .dataset import (
     CamLocItem,
 )
 from .means import get_label_mean
-from .pipeline import Loader
+from .pipeline import Loader, device_prefetch
 from .synthetic import synth_sample, write_fake_dataset
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "GRAY_STD",
     "IMAGE_HEIGHT",
     "Loader",
+    "device_prefetch",
     "RGB_MEAN",
     "RGB_STD",
     "augment_batch",

@@ -15,6 +15,30 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def device_prefetch(iterator, size: int = 2, keys=("image", "pose", "focal")):
+    """Overlap host->device transfer with device compute: keep `size`
+    batches' arrays already on device (jax.device_put is async)."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        out = dict(batch)
+        for k in keys:
+            if k in out and isinstance(out[k], np.ndarray):
+                out[k] = jax.device_put(out[k])
+        return out
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class Loader:
     """Iterates (epoch-wise) over host batches with background prefetch."""
 

@@ -166,6 +166,7 @@ class TransPoseNet(nn.Module):
     full_size_output: bool = False
     mean_init: Optional[Sequence[float]] = None
     dtype: Dtype = jnp.float32
+    remat: bool = False  # jax.checkpoint the encoder towers (memory <-> FLOPs)
 
     @property
     def output_subsample(self) -> int:
@@ -178,14 +179,15 @@ class TransPoseNet(nn.Module):
         up_hw = (x.shape[1], x.shape[2])
         x = x.astype(self.dtype)
 
+        enc_cls = nn.remat(TransPoseEncoder) if self.remat else TransPoseEncoder
         if self.num_mlr == 0:
-            res = TransPoseEncoder(
+            res = enc_cls(
                 self.tiny, self.enc_add_res_block, g, self.dtype, name="encoder"
             )(x)
         else:
             acts = []
             for i in range(self.num_mlr):
-                a = TransPoseEncoder(
+                a = enc_cls(
                     self.tiny, self.enc_add_res_block, g, self.dtype,
                     name=f"mlr_encoder_{i + 1}",
                 )(x)
@@ -255,6 +257,7 @@ def build_network(
     num_unfrozen_encoder: int = 0,
     mean: Optional[Sequence[float]] = None,
     dtype: Dtype = jnp.float32,
+    remat: bool = False,
 ) -> TransPoseNet:
     """Factory matching `config_network` (`utils/learning.py:266-305`):
     enc/dec_add_res_block=2, +1 positive channel iff MLE uncertainty."""
@@ -276,4 +279,5 @@ def build_network(
         full_size_output=fullsize,
         mean_init=mean,
         dtype=dtype,
+        remat=remat,
     )

@@ -231,3 +231,17 @@ class TestMultiDeviceCLI:
         assert (out / "FLAG_training_done.nodata").exists()
         log = (out / "output.log").read_text()
         assert "Data-parallel training over 4 devices" in log
+
+
+class TestGrayscaleCLI:
+    def test_grayscale_training(self, workspace, monkeypatch):
+        monkeypatch.chdir(workspace)
+        train_cli.main(common_train_args(workspace, "coord", ["--grayscale", "--session", "gray"]))
+        out = (workspace / "output" /
+               "urbanscape-coord-sgray-gray-no_unc-e1-lr0.0002-sim_only-sc1.00-tiny")
+        assert (out / "FLAG_training_done.nodata").exists()
+        # grayscale models have a 1-channel stem conv
+        import torch
+
+        state = torch.load(str(out / "model.net"), map_location="cpu", weights_only=False)
+        assert state["encoder.conv1.weight"].shape[1] == 1

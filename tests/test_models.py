@@ -128,3 +128,18 @@ class TestPixelShuffle:
             .numpy()
         )
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+class TestRemat:
+    def test_remat_same_outputs_and_grads(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        m0 = models.build_network("coord", mean=[0.0, 0.0, 0.0])
+        m1 = models.build_network("coord", mean=[0.0, 0.0, 0.0], remat=True)
+        p = m0.init(jax.random.PRNGKey(0), x)
+        y0 = m0.apply(p, x)
+        y1 = m1.apply(p, x)  # same param tree: remat is compute-only
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+        g0 = jax.grad(lambda pp: jnp.sum(m0.apply(pp, x) ** 2))(p)
+        g1 = jax.grad(lambda pp: jnp.sum(m1.apply(pp, x) ** 2))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -22,7 +22,8 @@ class RansacConfig(NamedTuple):
     sample_rounds: int = 16  # static retry rounds per hypothesis
     refine_steps: int = 8  # outer refine iterations (inlier recompute)
     gn_iters: int = 3  # Gauss-Newton steps per refine iteration
-    gn_damping: float = 1e-4  # Levenberg damping added to J^T J
+    gn_damping: float = 1e-4  # Marquardt damping (scales diag(J^T J))
+    polish_iters: int = 2  # unconditional final GN polish rounds
     train_refine_steps: int = 4  # cheaper refinement inside the DSAC loss
 
 

@@ -211,6 +211,12 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
         key = jax.random.PRNGKey(2021)
         for batch in loader:
             images = jnp.asarray(batch["image"])
+            if grayscale:
+                # the reference's raw_image eval path feeds 3-channel tensors
+                # even to grayscale nets (would crash); convert instead
+                from ..data import to_grayscale
+
+                images = to_grayscale(images)
             labels = jnp.asarray(
                 batch["semantics"][..., None].astype(np.float32)
                 if task == "semantics" else batch[task]

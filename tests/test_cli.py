@@ -245,3 +245,47 @@ class TestGrayscaleCLI:
 
         state = torch.load(str(out / "model.net"), map_location="cpu", weights_only=False)
         assert state["encoder.conv1.weight"].shape[1] == 1
+
+
+class TestOtherTaskEval:
+    def test_depth_normal_eval(self, workspace, monkeypatch):
+        monkeypatch.chdir(workspace)
+        for task in ("depth", "normal"):
+            out = workspace / "output" / f"urbanscape-{task}-no_unc-e1-lr0.0002-sim_only-sc1.00-tiny"
+            if not out.exists():
+                train_cli.main(common_train_args(workspace, task))
+            test_cli.main([
+                "urbanscape", "--task", task, "--tiny",
+                "--network_in", str(out),
+                "--section", "val_drone_real",
+                "--datasets_dir", str(workspace / "datasets"),
+                "--image_height", str(IMG_H),
+                "--batch_size", "2",
+            ])
+            results = list(out.glob(f"results_*task_{task}.txt"))
+            assert results, f"no {task} results"
+            text = results[0].read_text()
+            if task == "depth":
+                assert re.search(r"absolute relative error, mean:\s+\d+.\d+%", text)
+            else:
+                assert re.search(r"angular prediction error, mean:\s+\d+.\d+ deg", text)
+
+    def test_semantics_train_and_eval(self, workspace, monkeypatch):
+        monkeypatch.chdir(workspace)
+        train_cli.main(common_train_args(workspace, "semantics", ["--fullsize"]))
+        out = (workspace / "output" /
+               "urbanscape-semantics-no_unc-fullsize-e1-lr0.0002-sim_only-sc1.00-tiny")
+        assert (out / "FLAG_training_done.nodata").exists()
+        test_cli.main([
+            "urbanscape", "--task", "semantics", "--tiny", "--fullsize",
+            "--network_in", str(out),
+            "--section", "val_drone_real",
+            "--datasets_dir", str(workspace / "datasets"),
+            "--image_height", str(IMG_H),
+            "--batch_size", "2",
+            "--plot",
+        ])
+        results = list(out.glob("results_*task_semantics.txt"))
+        assert results
+        assert re.search(r"Mean IoU, mean:\s+\d+.\d+", results[0].read_text())
+        assert list(out.glob("sm_section_*.png"))  # qualitative plots

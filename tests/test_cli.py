@@ -289,3 +289,34 @@ class TestOtherTaskEval:
         assert results
         assert re.search(r"Mean IoU, mean:\s+\d+.\d+", results[0].read_text())
         assert list(out.glob("sm_section_*.png"))  # qualitative plots
+
+
+class TestSearchDir:
+    def test_search_dir_meta_decode(self, workspace, monkeypatch):
+        """--search_dir sweeps output/ and decodes scene/task/unc from the
+        folder names (test_single_task.py:139-147 + read_mata_info)."""
+        monkeypatch.chdir(workspace)
+        out = workspace / "output" / "urbanscape-coord-seval-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny"
+        if not out.exists():
+            train_cli.main(common_train_args(workspace, "coord",
+                                             ["--uncertainty", "MLE", "--session", "eval"]))
+        # read_meta_info defaults pretrain sections to val_drone_sim+real;
+        # both fixture sections exist in the workspace
+        folder = out.name
+        scene, gray, task, sections, tiny, fullsize, unc = compat.read_meta_info(folder)
+        assert (scene, task, unc, tiny) == ("urbanscape", "coord", "MLE", True)
+
+        # the full search_dir sweep over the output dir (only this run inside)
+        import shutil
+        search_root = workspace / "search_me"
+        if search_root.exists():
+            shutil.rmtree(search_root)
+        search_root.mkdir()
+        shutil.copytree(out, search_root / folder)
+        test_cli.main([
+            "--search_dir", "--network_in", str(search_root),
+            "--datasets_dir", str(workspace / "datasets"),
+            "--image_height", str(IMG_H), "--batch_size", "2",
+        ])
+        results = list((search_root / folder).glob("results_*task_coord.txt"))
+        assert results

@@ -159,8 +159,6 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
     """Evaluate one weight file over all sections; returns the log path."""
     nodata_value = get_nodata_value(scene)
     num_enc = common.infer_num_encoders(network_path)
-    from ..data import get_label_mean
-
     model = common.build_network(
         scene, task, tiny, grayscale, uncertainty, fullsize,
         np.zeros(models.task_channels(task), np.float32), num_mlr=num_enc,

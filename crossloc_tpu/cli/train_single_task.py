@@ -11,7 +11,6 @@ import argparse
 import logging
 import os
 import time
-from functools import partial
 
 import numpy as np
 

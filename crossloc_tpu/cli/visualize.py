@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 import re
-from typing import List, Tuple
 
 import numpy as np
 

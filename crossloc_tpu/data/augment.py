@@ -19,7 +19,7 @@ Grayscale conversion uses the ITU-R 601 luma weights (PIL's `Grayscale`).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ dataset for unknown scenes.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 from ..losses.common import xyz2ae

@@ -9,8 +9,6 @@ end to end, and backs the GT-oracle solver/integration tests.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from .. import geometry as geo

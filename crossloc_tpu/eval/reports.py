@@ -8,7 +8,7 @@ downstream tooling, so the formats of `utils/evaluation.py:193-244,270-291,
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

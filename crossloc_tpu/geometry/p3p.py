@@ -213,7 +213,6 @@ def p3p_lambdatwist(X, y):
     signs = jnp.stack([s, s, -s, -s], axis=-1)  # [..., 4]
     w = signs[..., None] * u1[..., None, :] + u2[..., None, :]  # [..., 4, 3]
 
-    D1b = D1[..., None, :, :]  # broadcast over candidates
     A = _quad_dot(D1, u3)[..., None]  # [..., 1] -> broadcast
     B = 2.0 * jnp.einsum("...ki,...ij,...j->...k", w, D1, u3)  # [..., 4]
     C = jnp.einsum("...ki,...ij,...kj->...k", w, D1, w)  # [..., 4]

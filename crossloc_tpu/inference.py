@@ -8,13 +8,10 @@ the reference solver is batch=1 only (`dsacstar.cpp:52`).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from .ransac import RansacConfig, RansacResult, solve_batch
+from .ransac import RansacConfig, solve_batch
 
 
 def make_localizer(model, cfg: RansacConfig = RansacConfig(), training: bool = False):
@@ -24,9 +21,7 @@ def make_localizer(model, cfg: RansacConfig = RansacConfig(), training: bool = F
     in the reference's eval loader). The model's first `num_task_channel`
     outputs must be scene coordinates (coord task).
     """
-    image_hw = None  # static per-trace; derived from the input shape
-
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def localize(params, images, focal, key) -> tuple:
         preds = model.apply({"params": params}, images)
         coords = preds[..., 0:3].astype(jnp.float32)

@@ -204,3 +204,25 @@ class TestCv2Oracle:
         assert np.median(t_ours) < max(3.0 * np.median(t_cv), 3.0), (
             f"ours {np.median(t_ours):.2f}m vs cv2 {np.median(t_cv):.2f}m")
         assert np.median(r_ours) < max(3.0 * np.median(r_cv), 2.0)
+
+
+class TestLocalizer:
+    def test_make_localizer_fused(self, rng):
+        """inference.make_localizer: net + solver fused in one jit."""
+        import jax.numpy as jnp
+
+        from crossloc_tpu import models
+        from crossloc_tpu.inference import make_localizer
+
+        model = models.build_network("coord", uncertainty="MLE", tiny=True,
+                                     mean=[0.0, 0.0, 100.0])
+        images = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images)["params"]
+        cfg = ransac.RansacConfig(hypotheses=8, sample_rounds=4, refine_steps=2,
+                                  gn_iters=1, polish_iters=1)
+        localize = make_localizer(model, cfg)
+        coords, res = localize(params, images, jnp.float32(120.0),
+                               jax.random.PRNGKey(1))
+        assert coords.shape == (2, 8, 12, 3)
+        assert res.cam_to_world.shape == (2, 4, 4)
+        assert bool(jnp.all(jnp.isfinite(res.cam_to_world)))

@@ -115,14 +115,51 @@ def semantic_plotter(image, class_prediction, gt_label, network_path, section, b
     return out
 
 
+def extract_keyword_series(log_path: str, keyword: str) -> np.ndarray:
+    """All numeric values following '<keyword>:' in the log (parity with
+    the reference's --keywords extraction, `visualize.py:29,40-78`)."""
+    with open(log_path) as f:
+        text = f.read()
+    vals = re.findall(re.escape(keyword) + r":\s*(-?[\d.]+)", text)
+    return np.asarray([float(v) for v in vals])
+
+
+def plot_keywords(log_path: str, keywords, out_path=None, window: int = 100):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, len(keywords), figsize=(6 * len(keywords), 4), squeeze=False)
+    for ax, kw in zip(axes[0], keywords):
+        y = moving_average(extract_keyword_series(log_path, kw), window)
+        ax.plot(y)
+        ax.set_title(kw)
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    out_path = out_path or os.path.join(
+        os.path.dirname(os.path.abspath(log_path)), "keywords.png")
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
+    # positional log path like the reference (`visualize.py:27`); --log kept
+    parser.add_argument("log_path", type=str, nargs="?", default=None)
     parser.add_argument("--log", type=str, default=None, help="path to output.log")
+    parser.add_argument("--keywords", type=str, default=None, nargs="+",
+                        help="plot arbitrary '<keyword>: <value>' series from the log")
     parser.add_argument("--window", type=int, default=100, help="moving-average window")
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args(argv)
-    if args.log:
-        out = plot_training_curves(args.log, args.out, args.window)
+    log = args.log_path or args.log
+    if log and args.keywords:
+        out = plot_keywords(log, args.keywords, args.out, args.window)
+        print("Saved keyword plots to", out)
+    elif log:
+        out = plot_training_curves(log, args.out, args.window)
         print("Saved training curves to", out)
 
 

@@ -2,6 +2,7 @@
 from .config import PoseLossConfig, RansacConfig
 from .loss import expected_pose_loss, pose_loss
 from .rgbd import RgbdResult, solve_rgbd
+from .sharded import solve_batch_hypsharded
 from .solver import RansacResult, refine_pose, sample_hypotheses, solve_batch
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "refine_pose",
     "sample_hypotheses",
     "solve_batch",
+    "solve_batch_hypsharded",
     "solve_rgbd",
 ]

@@ -11,6 +11,20 @@ import numpy as np
 
 import jax
 
+
+def select_device_from_env() -> None:
+    """Honor CROSSLOC_DEVICE_ORDINAL (the bash harness's DEVICE_ID slot —
+    the analog of the reference's CUDA_VISIBLE_DEVICES selection,
+    `encoder_pretrain.sh:103`)."""
+    ordinal = os.environ.get("CROSSLOC_DEVICE_ORDINAL")
+    if ordinal is None:
+        return
+    devices = jax.devices()
+    idx = int(ordinal)
+    if 0 <= idx < len(devices):
+        jax.config.update("jax_default_device", devices[idx])
+        logging.info("Selected device %s via CROSSLOC_DEVICE_ORDINAL", devices[idx])
+
 from .. import compat, models
 from ..data import CamLocDataset, Loader, get_label_mean
 from ..losses import get_nodata_value

@@ -157,6 +157,7 @@ def build_eval_loader(scene, task, grayscale, section, fullsize, batch_size, dat
 def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, tiny,
                      fullsize, uncertainty) -> str:
     """Evaluate one weight file over all sections; returns the log path."""
+    common.select_device_from_env()
     nodata_value = get_nodata_value(scene)
     num_enc = common.infer_num_encoders(network_path)
     model = common.build_network(

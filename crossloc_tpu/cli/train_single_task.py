@@ -98,6 +98,7 @@ def select_labels(batch: dict, task: str):
 
 def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None):
     """The training loop shared by train/finetune entry points."""
+    common.select_device_from_env()
     nodata_value = get_nodata_value(opt.scene)
 
     trainset, loader, mean = common.build_train_loader(

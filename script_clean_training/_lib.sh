@@ -5,7 +5,7 @@
 # (script_clean_training/encoder_pretrain.sh:9-103):
 #   DATASET TASK NET_DEPTH SIM_DATA_CHUNK REAL_DATA_DOM REAL_DATA_CHUNK UNC DEVICE_ID
 # DEVICE_ID selects the accelerator (was CUDA_VISIBLE_DEVICES; here it maps
-# to JAX's device ordinal via JAX_DEFAULT_DEVICE).
+# to JAX's device ordinal via CROSSLOC_DEVICE_ORDINAL).
 
 parse_common_args() {
   DATASET=${1:-urbanscape}
@@ -16,7 +16,7 @@ parse_common_args() {
   REAL_DATA_CHUNK=${6:-0.0}
   UNC=${7:-MLE}
   DEVICE_ID=${8:-0}
-  export JAX_DEFAULT_DEVICE_ORDINAL=${DEVICE_ID}
+  export CROSSLOC_DEVICE_ORDINAL=${DEVICE_ID}
   CKPT_DIR=${CKPT_DIR:-./ckpts}
   echo "DATASET=$DATASET TASK=$TASK NET_DEPTH=$NET_DEPTH SIM=$SIM_DATA_CHUNK"
   echo "REAL_DOM=$REAL_DATA_DOM REAL=$REAL_DATA_CHUNK UNC=$UNC DEVICE=$DEVICE_ID"

@@ -9,7 +9,7 @@ parse_val_args() {
   NET_DEPTH=${3:-FULL}
   UNC=${4:-MLE}
   DEVICE_ID=${5:-0}
-  export JAX_DEFAULT_DEVICE_ORDINAL=${DEVICE_ID}
+  export CROSSLOC_DEVICE_ORDINAL=${DEVICE_ID}
   CKPT_DIR=${CKPT_DIR:-./ckpts}
   MAX_CKPT_ITER=${MAX_CKPT_ITER:-1e98}
 }

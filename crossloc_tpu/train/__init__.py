@@ -1,5 +1,5 @@
 """Training: jitted step, optimizer/schedule, state, native checkpoints."""
-from .checkpoint import latest_state_file, load_train_state, save_train_state
+from .checkpoint import CheckpointManager, latest_state_file, load_train_state, save_train_state
 from .dsac_step import make_dsac_train_step
 from .step import (
     TrainBatch,
@@ -13,6 +13,7 @@ from .step import (
 
 __all__ = [
     "TrainBatch",
+    "CheckpointManager",
     "latest_state_file",
     "load_train_state",
     "save_train_state",

@@ -49,3 +49,44 @@ def latest_state_file(directory: str) -> Optional[str]:
         if f.endswith(STATE_SUFFIX)
     ]
     return max(cands, key=os.path.getmtime) if cands else None
+
+
+class CheckpointManager:
+    """Rotating full-state checkpoints: save every call, keep the newest N.
+
+    A minimal orbax-style manager over the msgpack `.state` format; the
+    interoperable `.net` snapshots remain the training loop's contract, this
+    adds crash-exact resume with bounded disk use.
+    """
+
+    def __init__(self, directory: str, keep: int = 5, prefix: str = "state"):
+        self.directory = directory
+        self.keep = keep
+        self.prefix = prefix
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"{self.prefix}_{step:09d}{STATE_SUFFIX}")
+
+    def all_steps(self):
+        steps = []
+        for f in os.listdir(self.directory):
+            if f.startswith(self.prefix + "_") and f.endswith(STATE_SUFFIX):
+                try:
+                    steps.append(int(f[len(self.prefix) + 1 : -len(STATE_SUFFIX)]))
+                except ValueError:
+                    continue
+        return sorted(steps)
+
+    def save(self, state: TrainState, step: Optional[int] = None) -> str:
+        step = int(state.step) if step is None else int(step)
+        path = save_train_state(self._path(step), state)
+        for old in self.all_steps()[: -self.keep]:
+            os.remove(self._path(old))
+        return path
+
+    def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        steps = self.all_steps()
+        if not steps:
+            return None
+        return load_train_state(self._path(steps[-1]), template)

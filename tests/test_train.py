@@ -140,3 +140,28 @@ class TestDsacTrainStep:
             state, m = step(state, batch, jax.random.PRNGKey(i + 1))
             assert np.isfinite(float(m["loss"]))
         assert float(m["grad_norm"]) > 0.0
+
+
+class TestCheckpointManager:
+    def test_rotation_and_restore(self, rng, tmp_path):
+        from crossloc_tpu.train import CheckpointManager
+
+        model = models.build_network("depth", tiny=True, mean=[0.0])
+        tx = train.make_optimizer(1e-4)
+        images = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
+        state = train.create_train_state(model, tx, images)
+        mgr = CheckpointManager(str(tmp_path / "ckpts"), keep=3)
+        for step in range(6):
+            mgr.save(state._replace(step=jnp.asarray(step, jnp.int32)))
+        assert mgr.all_steps() == [3, 4, 5]  # rotated down to keep=3
+        restored = mgr.restore_latest(state)
+        assert int(restored.step) == 5
+
+    def test_restore_empty(self, rng, tmp_path):
+        from crossloc_tpu.train import CheckpointManager
+
+        model = models.build_network("depth", tiny=True, mean=[0.0])
+        tx = train.make_optimizer(1e-4)
+        state = train.create_train_state(model, tx, jnp.zeros((1, 16, 16, 3)))
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        assert mgr.restore_latest(state) is None

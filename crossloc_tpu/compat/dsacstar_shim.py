@@ -163,10 +163,7 @@ def backward_rgbd(
     `dsacstar_util_rgbd.h:101-191`)."""
     import torch
 
-    from ..geometry import invert_se3
-    from ..ransac.loss import pose_loss
-    from ..ransac.rgbd import _dist_errors_cm, _kabsch_refine
-    from ..geometry import kabsch
+    from ..ransac.rgbd import expected_pose_loss_rgbd
 
     obj = jnp.asarray(_nchw_to_nhwc(scene_coordinates))
     eye = jnp.asarray(_nchw_to_nhwc(camera_coordinates))
@@ -181,50 +178,11 @@ def backward_rgbd(
         max_pixel_error=max_dist_error,
     )
     loss_cfg = PoseLossConfig(w_rot=w_loss_rot, w_trans=w_loss_trans, soft_clamp=soft_clamp)
-    key = jax.random.PRNGKey(random_seed)
 
     def f(o):
-        B, Hs, Ws, _ = o.shape
-        N = Hs * Ws
-        of = o.reshape(B, N, 3)
-        ef = eye.reshape(B, N, 3)
-        vm = valid.reshape(B, N)
-
-        def per_image(ob, ey, v, k):
-            H, Rr = cfg.hypotheses, cfg.sample_rounds
-            idx = jax.random.randint(k, (H, Rr, 3), 0, N)
-            o3, e3 = ob[idx], ey[idx]
-            all_valid = jnp.all(v[idx], axis=-1)
-            Rk, tk = kabsch(o3, e3)
-            pred = jnp.einsum("hrij,hrnj->hrni", Rk, o3) + tk[..., None, :]
-            d3 = jnp.linalg.norm(e3 - pred, axis=-1) * 100.0
-            good = all_valid & jnp.all(d3 < cfg.inlier_threshold, axis=-1)
-            first = jnp.argmax(good, axis=1)
-            hyp_valid = jnp.any(good, axis=1)
-            take = lambda a: jnp.take_along_axis(
-                a, first[(...,) + (None,) * (a.ndim - 1)], axis=1
-            )[:, 0]
-            R0, t0 = take(Rk), take(tk)
-            d = _dist_errors_cm(R0, t0, ob, ey, v, cfg.max_pixel_error)
-            beta = 5.0 / cfg.inlier_threshold
-            scores = cfg.inlier_alpha * jnp.mean(
-                jax.nn.sigmoid(-beta * (d - cfg.inlier_threshold)), axis=-1
-            )
-            safe = jnp.where(hyp_valid, scores, -jnp.inf)
-            safe = jnp.where(jnp.any(hyp_valid), safe, jnp.zeros_like(scores))
-            probs = jax.nn.softmax(safe)
-            Rr_, tr_ = jax.vmap(lambda R, t: _kabsch_refine(R, t, ob, ey, v, cfg))(R0, t0)
-            w2c = (
-                jnp.broadcast_to(jnp.eye(4), (H, 4, 4))
-                .at[:, 0:3, 0:3].set(Rr_)
-                .at[:, 0:3, 3].set(tr_)
-            )
-            est = invert_se3(w2c)
-            losses = jnp.where(hyp_valid, pose_loss(est, gt, loss_cfg), 0.0)
-            return jnp.sum(probs * losses)
-
-        keys = jax.random.split(key, B)
-        return jnp.mean(jax.vmap(per_image)(of, ef, vm, keys))
+        return expected_pose_loss_rgbd(
+            o, eye, valid, gt[None], jax.random.PRNGKey(random_seed), cfg, loss_cfg
+        )
 
     loss, grad = jax.value_and_grad(f)(obj)
     grad_nchw = np.transpose(np.asarray(grad), (0, 3, 1, 2))

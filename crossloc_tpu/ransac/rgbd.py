@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import invert_se3, kabsch
-from .config import RansacConfig
+from .config import PoseLossConfig, RansacConfig
 
 
 class RgbdResult(NamedTuple):
@@ -125,3 +125,64 @@ def solve_rgbd(
 
     c2w, scores, probs, chosen, inl, valid = jax.vmap(per_image)(obj, eye, vmask, keys)
     return RgbdResult(c2w, scores, probs, chosen, inl, valid)
+
+
+def expected_pose_loss_rgbd(
+    scene_coords,
+    camera_coords,
+    valid_mask,
+    gt_poses,
+    key,
+    cfg: RansacConfig = RansacConfig(),
+    loss_cfg: PoseLossConfig = PoseLossConfig(),
+):
+    """DSAC training objective for the RGB-D path: E_h~p [ loss(refine(h), gt) ].
+
+    Parity with `dsacstar_rgbd_backward` (`dsacstar.cpp:631-885`): Kabsch
+    hypotheses + soft-inlier scores + expected pose loss, with gradients via
+    autodiff through the SVD (replacing the hand-ported `svd_backward`).
+    gt_poses: [B, 4, 4] cam-to-world.
+    """
+    from .loss import pose_loss
+
+    B, Hs, Ws, _ = scene_coords.shape
+    N = Hs * Ws
+    obj = scene_coords.reshape(B, N, 3)
+    eye = camera_coords.reshape(B, N, 3)
+    vmask = valid_mask.reshape(B, N)
+    keys = jax.random.split(key, B)
+
+    def per_image(o, e, v, k, gt):
+        H, Rr = cfg.hypotheses, cfg.sample_rounds
+        idx = jax.random.randint(k, (H, Rr, 3), 0, N)
+        o3, e3 = o[idx], e[idx]
+        all_valid = jnp.all(v[idx], axis=-1)
+        Rk, tk = kabsch(o3, e3)
+        pred = jnp.einsum("hrij,hrnj->hrni", Rk, o3) + tk[..., None, :]
+        d3 = jnp.linalg.norm(e3 - pred, axis=-1) * 100.0
+        good = all_valid & jnp.all(d3 < cfg.inlier_threshold, axis=-1)
+        first = jnp.argmax(good, axis=1)
+        hyp_valid = jnp.any(good, axis=1)
+        take = lambda a: jnp.take_along_axis(
+            a, first[(...,) + (None,) * (a.ndim - 1)], axis=1
+        )[:, 0]
+        R0, t0 = take(Rk), take(tk)
+        d = _dist_errors_cm(R0, t0, o, e, v, cfg.max_pixel_error)
+        beta = 5.0 / cfg.inlier_threshold
+        scores = cfg.inlier_alpha * jnp.mean(
+            jax.nn.sigmoid(-beta * (d - cfg.inlier_threshold)), axis=-1
+        )
+        safe = jnp.where(hyp_valid, scores, -jnp.inf)
+        safe = jnp.where(jnp.any(hyp_valid), safe, jnp.zeros_like(scores))
+        probs = jax.nn.softmax(safe)
+        Rr_, tr_ = jax.vmap(lambda R, t: _kabsch_refine(R, t, o, e, v, cfg))(R0, t0)
+        w2c = (
+            jnp.broadcast_to(jnp.eye(4), (H, 4, 4))
+            .at[:, 0:3, 0:3].set(Rr_)
+            .at[:, 0:3, 3].set(tr_)
+        )
+        est = invert_se3(w2c)
+        losses = jnp.where(hyp_valid, pose_loss(est, gt, loss_cfg), 0.0)
+        return jnp.sum(probs * losses)
+
+    return jnp.mean(jax.vmap(per_image)(obj, eye, vmask, keys, gt_poses))

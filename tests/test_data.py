@@ -169,3 +169,63 @@ class TestLabelMeans:
     def test_unknown_scene_requires_dataset(self):
         with pytest.raises(ValueError):
             data.get_label_mean("unknown_scene", "coord")
+
+
+class TestDenseFromDepth:
+    def test_mode1_dense_generates_exact_coords(self, rng, tmp_path):
+        """mode=1, sparse=False: scene coords generated from a depth PNG must
+        match the synthetic geometry (dataloader/dataloader.py:444-486)."""
+        import imageio.v2 as imageio
+        from PIL import Image
+
+        root = tmp_path / "dense_scene"
+        for d in ("rgb", "poses", "calibration", "depth"):
+            (root / d).mkdir(parents=True)
+
+        # scene with depths < 65 m (16-bit millimeter PNGs saturate at 65.5 m)
+        img_h, img_w, focal = 96, 144, 120.0
+        h, w = img_h // 8, img_w // 8
+        rvec = rng.normal(size=3) * 0.3
+        R = np.asarray(geo.rodrigues(jnp.asarray(rvec)))
+        t = rng.normal(size=3) * 5 + np.array([0, 0, 30.0])
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = R
+        pose[:3, 3] = t
+        K = np.asarray(geo.intrinsics(focal, img_w, img_h))
+        grid = np.asarray(geo.pixel_grid(h, w, 8)).reshape(-1, 2)
+        # millimeter-quantized depths so the PNG round trip is exact
+        depth = np.round(rng.uniform(5.0, 60.0, size=grid.shape[0]) * 1000) / 1000
+        cam_pts = np.asarray(
+            geo.backproject(jnp.asarray(grid), jnp.asarray(depth), jnp.asarray(K))
+        )
+        expected = (cam_pts @ R.T + t).reshape(h, w, 3)
+
+        Image.fromarray(
+            (rng.uniform(0, 1, size=(img_h, img_w, 3)) * 255).astype(np.uint8)
+        ).save(str(root / "rgb" / "f.png"))
+        np.savetxt(str(root / "poses" / "f.txt"), pose)
+        np.savetxt(str(root / "calibration" / "f.txt"), [focal])
+        full = np.repeat(np.repeat(depth.reshape(h, w), 8, axis=0), 8, axis=1)
+        imageio.imwrite(str(root / "depth" / "f.png"),
+                        np.round(full * 1000).astype(np.uint16))
+
+        ds = data.CamLocDataset(str(root), mode=1, sparse=False, image_height=96)
+        item = ds[0]
+        assert item.coord.shape == (h, w, 3)
+        err = np.linalg.norm(item.coord - expected, axis=-1)
+        assert np.median(err) < 0.01, float(np.median(err))
+
+    def test_mode0_rgb_only(self, rng, tmp_path):
+        root = tmp_path / "rgb_scene"
+        for d in ("rgb", "poses", "calibration"):
+            (root / d).mkdir(parents=True)
+        from PIL import Image
+
+        s = data.synth_sample(rng, img_h=48, img_w=64, focal=100.0)
+        Image.fromarray((s["image"] * 255).astype(np.uint8)).save(str(root / "rgb" / "f.png"))
+        np.savetxt(str(root / "poses" / "f.txt"), s["pose"])
+        np.savetxt(str(root / "calibration" / "f.txt"), [s["focal"]])
+        ds = data.CamLocDataset(str(root), mode=0, image_height=48)
+        item = ds[0]
+        assert item.image.shape == (48, 64, 3)
+        assert item.coord is None

@@ -224,7 +224,10 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
             file_name_ls += [os.path.basename(f) for f in batch["file_name"]]
 
             if task == "coord":
-                focal = float(batch["focal"][0])
+                # per-image calibration: the solver takes focal as [B]
+                # (`utils/evaluation.py:161-172` evaluates each image with
+                # its own focal; a batch may mix calibrations)
+                focal = jnp.asarray(np.asarray(batch["focal"], np.float32))
                 key, sub = jax.random.split(key)
                 res = solve(preds, focal, sub, (images.shape[1], images.shape[2]))
                 for b in range(images.shape[0]):
@@ -234,6 +237,12 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
                     est_xyz_ls.append(np.asarray(res.cam_to_world[b][0:3, 3]))
                     coords_error_ls.append(
                         evaluation.coord_errors(preds[b][None], labels[b][None], nodata_value)
+                    )
+                    # per-frame stdout line, `utils/evaluation.py:189-190`
+                    print(
+                        "\nRotation Error: %.2f deg, Translation Error: %.1f m, "
+                        "Mean coord prediction error: %.1f m"
+                        % (r_err, t_err, float(np.mean(coords_error_ls[-1])))
                     )
                     if opt.save_pred:
                         fn = os.path.basename(batch["file_name"][b])

@@ -71,7 +71,11 @@ def write_fake_dataset(
     fullsize: bool = False,
 ):
     """Write a directory tree following the reference dataset contract
-    (rgb/ poses/ calibration/ init/ depth/ normal/ semantics/ eye/)."""
+    (rgb/ poses/ calibration/ init/ depth/ normal/ semantics/ eye/).
+
+    `focal` may be a scalar or a sequence cycled per image (the reference
+    dataset carries one calibration file per frame, so a section may mix
+    calibrations — `utils/evaluation.py:161-172` evaluates per-image)."""
     import torch
     from PIL import Image
 
@@ -80,8 +84,10 @@ def write_fake_dataset(
     for d in sub:
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
+    focals = list(np.atleast_1d(np.asarray(focal, np.float64)))
     for i in range(n):
-        s = synth_sample(rng, img_h, img_w, focal, subsample=1 if fullsize else 8)
+        s = synth_sample(rng, img_h, img_w, float(focals[i % len(focals)]),
+                         subsample=1 if fullsize else 8)
         name = f"frame_{i:05d}"
         Image.fromarray((s["image"] * 255).astype(np.uint8)).save(
             os.path.join(root, "rgb", name + ".png")

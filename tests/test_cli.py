@@ -146,6 +146,42 @@ class TestTestCLI:
         pred_dirs = list(trained_coord.glob("coord_pred_*"))
         assert pred_dirs and list(pred_dirs[0].glob("*.npz"))
 
+    def test_eval_passes_per_image_focal(self, workspace, trained_coord, monkeypatch, capsys):
+        """A batch mixing calibrations must reach the solver as [B] focal
+        (reference evaluates per-image, `utils/evaluation.py:161-172`), and
+        each frame gets the reference's per-image stdout line
+        (`utils/evaluation.py:189-190`)."""
+        scene_dir = workspace / "datasets" / "urbanscape"
+        data.write_fake_dataset(str(scene_dir / "val_mixed_focal"), n=2,
+                                img_h=IMG_H, img_w=IMG_W,
+                                focal=[FOCAL, 2 * FOCAL], seed=7)
+        import crossloc_tpu.ransac as ransac_mod
+
+        orig = ransac_mod.solve_batch
+        seen = []
+
+        def spy(coords, focal, image_hw, key, cfg=None, training=False):
+            seen.append(getattr(focal, "shape", ()))
+            return orig(coords, focal, image_hw, key, cfg) if cfg is not None \
+                else orig(coords, focal, image_hw, key)
+
+        monkeypatch.setattr(ransac_mod, "solve_batch", spy)
+        monkeypatch.chdir(workspace)
+        test_cli.main([
+            "urbanscape", "--task", "coord", "--uncertainty", "MLE", "--tiny",
+            "--network_in", str(trained_coord / "model.net"),
+            "--section", "val_mixed_focal",
+            "--datasets_dir", str(workspace / "datasets"),
+            "--image_height", str(IMG_H),
+            "--batch_size", "2",
+        ])
+        assert seen and all(s == (2,) for s in seen), f"focal shapes: {seen}"
+        out = capsys.readouterr().out
+        lines = re.findall(
+            r"Rotation Error: \d+\.\d\d deg, Translation Error: \d+\.\d m, "
+            r"Mean coord prediction error: \d+\.\d m", out)
+        assert len(lines) == 2, f"expected 2 per-image lines, got {len(lines)}:\n{out}"
+
     def test_select_ckpt(self, workspace, trained_coord, monkeypatch):
         # selection runs over ckpt_iter_* results (like the reference's
         # validation scripts, which sweep CKPT_DIR); results for model.net

@@ -17,9 +17,9 @@ FOCAL = 500.0
 HS, WS = 30, 45  # subsampled prediction grid (small for CPU test speed)
 
 
-def synth_scene(rng, B=2, noise=0.0, outlier_frac=0.0):
+def synth_scene(rng, B=2, noise=0.0, outlier_frac=0.0, focal=FOCAL):
     """Exact scene coordinates by backprojecting the prediction grid."""
-    K = np.asarray(geo.intrinsics(FOCAL, IMG_W, IMG_H))
+    K = np.asarray(geo.intrinsics(focal, IMG_W, IMG_H))
     grid = np.asarray(geo.pixel_grid(HS, WS, 8)).reshape(-1, 2)
     N = grid.shape[0]
     coords, poses = [], []
@@ -71,6 +71,27 @@ class TestOracle:
         assert r_err.max() < 0.3, f"r_err={r_err}"
         # most pixels should be inliers under the recovered pose
         assert int(res.inlier_count.min()) > 0.9 * HS * WS
+
+    def test_per_image_focal_mixed_batch(self, rng):
+        """A batch mixing two calibrations must be solved with each image's
+        own focal (`utils/evaluation.py:161-172` is per-image); using image
+        0's focal for the whole batch breaks the second pose."""
+        c0, g0 = synth_scene(rng, B=1, focal=400.0)
+        c1, g1 = synth_scene(rng, B=1, focal=800.0)
+        coords = jnp.concatenate([c0, c1])
+        gt = jnp.concatenate([g0, g1])
+        focals = jnp.asarray([400.0, 800.0], jnp.float32)
+
+        res = ransac.solve_batch(coords, focals, (IMG_H, IMG_W), jax.random.PRNGKey(11))
+        t_err, r_err = pose_errors(res.cam_to_world, gt)
+        assert t_err.max() < 0.5, f"t_err={t_err}"
+        assert r_err.max() < 0.3, f"r_err={r_err}"
+
+        # regression contrast: the round-1 CLI bug (scalar focal[0] for the
+        # whole batch) must visibly corrupt the differently-calibrated image
+        bad = ransac.solve_batch(coords, 400.0, (IMG_H, IMG_W), jax.random.PRNGKey(11))
+        t_bad, _ = pose_errors(bad.cam_to_world, gt)
+        assert t_bad[1] > 10.0 * max(t_err[1], 0.05), f"t_bad={t_bad}"
 
     def test_noisy_coords_with_outliers(self, rng):
         coords, gt = synth_scene(rng, B=4, noise=1.0, outlier_frac=0.25)

@@ -7,7 +7,9 @@ from .layers import (
     MLRSkip,
     ResBlock,
     bilinear_resize,
+    gn_fast_variance,
     pixel_shuffle,
+    set_gn_fast_variance,
 )
 from .transpose_net import (
     OUTPUT_SUBSAMPLE,
@@ -35,6 +37,8 @@ __all__ = [
     "VanillaNetwork",
     "bilinear_resize",
     "build_network",
+    "gn_fast_variance",
     "pixel_shuffle",
+    "set_gn_fast_variance",
     "task_channels",
 ]

@@ -19,6 +19,26 @@ Dtype = Any
 
 GN_EPS = 1e-5  # torch nn.GroupNorm default (the reference's normalizer)
 
+# GroupNorm variance algorithm. The fast path (E[x2]-E[x]2, one pass over
+# HBM) is the default: 452 vs 392 img/s net-forward at B=16 on v5e — the
+# two-pass centered variance costs ~13%. The fast path's catastrophic
+# cancellation adds benign fp32 noise that spatial sharding regroups,
+# amplifying sharded-vs-unsharded GRADIENT differences to ~1e-4 of the
+# global gradient scale (forward stays at ~1e-5; harmless for SGD). Flip to
+# False (BEFORE tracing — jit caches the traced choice) for bit-honest
+# gradient reproducibility under spatial sharding, e.g. in equivalence
+# tests. See BENCH_NOTES.md "GroupNorm variance algorithm".
+_GN_FAST_VARIANCE = True
+
+
+def set_gn_fast_variance(enabled: bool) -> None:
+    global _GN_FAST_VARIANCE
+    _GN_FAST_VARIANCE = bool(enabled)
+
+
+def gn_fast_variance() -> bool:
+    return _GN_FAST_VARIANCE
+
 
 class GroupNormFused(nn.Module):
     """GroupNorm with fp32 statistics and optional fused ReLU.
@@ -74,6 +94,7 @@ class ConvGN(nn.Module):
         # the surrounding convs, which profiling showed beats both a Pallas
         # fused kernel and a reshape-based jnp version (see ops/ docstring)
         x = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS, dtype=jnp.float32,
+                         use_fast_variance=gn_fast_variance(),
                          name=self.name_norm)(x.astype(jnp.float32))
         if self.relu:
             x = nn.relu(x)

@@ -196,9 +196,10 @@ class TransPoseNet(nn.Module):
                 acts.append(a)
             mlr = jnp.concatenate(acts, axis=-1)  # [B, h, w, wide * num_mlr]
             res = MLRSkip(wide, g, self.dtype, name="mlr_skip")(mlr)
-            from .layers import GN_EPS
+            from .layers import GN_EPS, gn_fast_variance
 
             mlr = nn.GroupNorm(num_groups=g, epsilon=GN_EPS, dtype=jnp.float32,
+                               use_fast_variance=gn_fast_variance(),
                                name="mlr_norm")(mlr.astype(jnp.float32)).astype(self.dtype)
             mlr = MLRConcatenator(wide, g, self.dtype, name="mlr_forward")(mlr)
             res = nn.relu(res + mlr)

@@ -143,3 +143,25 @@ class TestRemat:
         g1 = jax.grad(lambda pp: jnp.sum(m1.apply(pp, x) ** 2))(p)
         for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestShardedForward:
+    def test_spatial_sharded_forward_matches_replicated(self, rng):
+        """XLA SPMD halo exchanges (3x3 convs) + cross-shard GroupNorm
+        statistics must reproduce the unsharded forward exactly."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from crossloc_tpu import parallel
+
+        net = models.build_network("coord", uncertainty="MLE", mean=[1.0, 2.0, 3.0])
+        x = jnp.asarray(rng.normal(size=(4, 64, 96, 3)), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        fwd = jax.jit(net.apply)
+        ref = np.asarray(fwd(params, x))
+
+        mesh = parallel.make_mesh(jax.devices(), data=4, spatial=2)
+        with mesh:
+            xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+            ps = parallel.replicate(mesh, params)
+            out = np.asarray(fwd(ps, xs))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

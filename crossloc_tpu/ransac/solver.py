@@ -85,21 +85,44 @@ def soft_inlier_score(errs, cfg: RansacConfig):
 def _gn_refine(pose6, coords, grid, cam_mat, mask, cfg: RansacConfig):
     """A few damped Gauss-Newton steps on mask-weighted reprojection
     residuals — the static-shape analog of re-solving PnP (ITERATIVE) on the
-    inlier set (`dsacstar_util.h:570-580`)."""
+    inlier set (`dsacstar_util.h:570-580`).
 
-    def residuals(p6):
-        R = rodrigues(p6[0:3])
-        Xc = coords @ R.T + p6[3:6]
-        proj = Xc @ cam_mat.T
-        z = jnp.maximum(proj[..., 2:3], 1e-6)
-        r = (proj[..., 0:2] / z - grid) * mask[:, None]
-        return r.reshape(-1)  # [2N]
+    The step is parameterized by a LOCAL SE(3) perturbation (omega, dt)
+    applied on the camera side: u = R_delta(omega) (R X + t) + dt. At
+    omega = 0 the Jacobians are closed-form — du/domega = -[u]x, du/ddt = I —
+    so each iteration is a handful of fused elementwise ops + one 6x6 solve
+    (the previous jax.linearize version emitted ~6x the ops and was the
+    latency hot spot of refinement). Local parameterization also avoids the
+    rvec chart's singularities during the update itself.
+    """
+    f = cam_mat[0, 0]
 
     def step(_, p6):
-        r, jvp_rows = jax.linearize(residuals, p6)
-        J = jax.vmap(jvp_rows)(jnp.eye(6, dtype=p6.dtype))  # [6, 2N]
-        JtJ = J @ J.T  # [6, 6]
-        Jtr = J @ r  # [6]
+        R = rodrigues(p6[0:3])
+        u = coords @ R.T + p6[3:6]  # [N, 3] camera-frame points
+        z = jnp.maximum(u[:, 2], 1e-6)
+        inv_z = 1.0 / z
+        ux, uy = u[:, 0], u[:, 1]
+        # residuals (pixel units); cx/cy cancel in the derivative
+        px = f * ux * inv_z + cam_mat[0, 2]
+        py = f * uy * inv_z + cam_mat[1, 2]
+        rx = (px - grid[:, 0]) * mask
+        ry = (py - grid[:, 1]) * mask
+        # A = d(pix)/du, rows a1/a2 scaled by the inlier mask
+        a1 = jnp.stack([inv_z, jnp.zeros_like(inv_z), -ux * inv_z * inv_z], axis=-1)
+        a2 = jnp.stack([jnp.zeros_like(inv_z), inv_z, -uy * inv_z * inv_z], axis=-1)
+        a1 = f * a1 * mask[:, None]
+        a2 = f * a2 * mask[:, None]
+        # J rows: [A @ (-skew(u)) | A];  (-skew(u)) columns are cross products
+        def rot_block(a):  # a [N, 3] -> a @ (-skew(u)) = cross(a, u)... sign:
+            # (-[u]x)_{jk} acting right: (a @ (-[u]x))_k = sum_j a_j (-[u]x)_{jk}
+            # = (u x a)_k
+            return jnp.cross(u, a)
+
+        j1 = jnp.concatenate([rot_block(a1), a1], axis=-1)  # [N, 6]
+        j2 = jnp.concatenate([rot_block(a2), a2], axis=-1)  # [N, 6]
+        JtJ = j1.T @ j1 + j2.T @ j2  # [6, 6]
+        Jtr = j1.T @ rx + j2.T @ ry  # [6]
         # Marquardt-style per-dimension damping: the rotation block's diagonal
         # is ~1e4x the translation block's, so a uniform (trace-scaled) term
         # over-damps translation and stalls convergence (measured 2x worse
@@ -107,7 +130,12 @@ def _gn_refine(pose6, coords, grid, cam_mat, mask, cfg: RansacConfig):
         damp = cfg.gn_damping * jnp.diag(JtJ) + 1e-9
         delta = jnp.linalg.solve(JtJ + jnp.diag(damp), Jtr)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
-        return p6 - delta
+        # compose the local update: R_new = R(omega) R, t_new = R(omega) t + dt
+        omega, dt = -delta[0:3], -delta[3:6]
+        Rd = rodrigues(omega)
+        R_new = Rd @ R
+        t_new = Rd @ p6[3:6] + dt
+        return jnp.concatenate([inverse_rodrigues(R_new), t_new])
 
     return jax.lax.fori_loop(0, cfg.gn_iters, step, pose6, unroll=True)
 
@@ -159,10 +187,17 @@ def sample_hypotheses(coords, grid, cam_mat, key, cfg: RansacConfig):
     """
     N = coords.shape[0]
     H, Rr = cfg.hypotheses, cfg.sample_rounds
-    idx = jax.random.randint(key, (H, Rr, 4), 0, N)
-    X4 = coords[idx]  # [H, Rr, 4, 3]
-    P4 = grid[idx]  # [H, Rr, 4, 2]
+    idx = jax.random.randint(key, (H * Rr, 4), 0, N)
+    X4 = coords[idx]  # [H*Rr, 4, 3]
+    P4 = grid[idx]  # [H*Rr, 4, 2]
+    # flat H*Rr batch: under the vmap over images the P3P component arrays
+    # are [B, H*Rr], which tiles the TPU vector registers densely (a nested
+    # [B, H, Rr] layout leaves Rr=8 of 128 lanes occupied)
     Rm, tm, err4, valid = p3p_from_4pts(X4, P4, cam_mat)
+    Rm = Rm.reshape(H, Rr, 3, 3)
+    tm = tm.reshape(H, Rr, 3)
+    err4 = err4.reshape(H, Rr)
+    valid = valid.reshape(H, Rr)
     good = valid & (err4 < cfg.inlier_threshold)
     first = jnp.argmax(good, axis=1)  # first valid round (or 0)
     hyp_valid = jnp.any(good, axis=1)

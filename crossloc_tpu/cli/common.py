@@ -223,7 +223,6 @@ def infer_num_encoders(weight_path: str) -> int:
     spec = name.split("decoder_")[1].split("-")[0]
     parts = spec.split("_")
     count = 0
-    skip_next = False
     for p in parts:
         if p in ("coord", "depth", "normal", "semantics"):
             count += 1

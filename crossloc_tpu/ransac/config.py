@@ -29,6 +29,11 @@ class RansacConfig(NamedTuple):
     gn_damping: float = 1e-4  # Marquardt damping (scales diag(J^T J))
     polish_iters: int = 2  # unconditional final GN polish rounds
     train_refine_steps: int = 4  # cheaper refinement inside the DSAC loss
+    # eval-time winner selection: "soft" = argmax of the softmax over soft
+    # inlier scores (the reference's `draw` at eval, `dsacstar_util.h:727-752`);
+    # "hard" = argmax of the hard inlier count (consensus). Training always
+    # samples from the soft distribution (the differentiable DSAC path).
+    eval_selection: str = "soft"
 
 
 class PoseLossConfig(NamedTuple):

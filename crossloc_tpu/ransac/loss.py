@@ -86,9 +86,7 @@ def expected_pose_loss(
         est_c2w = invert_se3(pose_vec_to_w2c(refined))
         losses = pose_loss(est_c2w, gt, loss_cfg)  # [H]
         losses = jnp.where(hyp_valid, losses, 0.0)
-        return jnp.sum(probs * losses), jnp.sum(probs * losses) / jnp.maximum(
-            jnp.sum(probs * hyp_valid), 1e-9
-        )
+        return jnp.sum(probs * losses)
 
-    exp_loss, _ = jax.vmap(per_image)(coords, cams, keys, gt_poses)
+    exp_loss = jax.vmap(per_image)(coords, cams, keys, gt_poses)
     return jnp.mean(exp_loss), {"per_image": exp_loss}

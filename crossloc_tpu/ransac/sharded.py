@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..geometry import intrinsics, invert_se3, pixel_grid, pose_vec_to_w2c
 from .config import RansacConfig
@@ -60,7 +60,7 @@ def solve_batch_hypsharded(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(coords_rep, cams_rep, key_rep):
         shard = jax.lax.axis_index(axis)

@@ -51,7 +51,7 @@ class RansacResult(NamedTuple):
     chosen: jnp.ndarray  # [B] selected hypothesis index
     inlier_count: jnp.ndarray  # [B] hard inlier count of the winner
     valid: jnp.ndarray  # [B] whether any valid hypothesis existed
-    entropy: jnp.ndarray  # [B] Shannon entropy of the distribution (bits)
+    entropy: jnp.ndarray  # [B] Shannon entropy of the distribution (nats)
 
 
 def _project_errors(pose6, coords, grid, cam_mat, max_err):
@@ -226,6 +226,11 @@ def _solve_single(coords, grid, cam_mat, key, cfg: RansacConfig, training: bool)
 
     if training:
         chosen = jax.random.categorical(k_draw, safe_scores)  # sample (`draw`, train)
+    elif cfg.eval_selection == "hard":
+        # consensus selection: argmax of the hard inlier count (invalid
+        # hypotheses masked); errs is already materialized for the scores
+        hard = jnp.sum(errs < cfg.inlier_threshold, axis=-1)
+        chosen = jnp.argmax(jnp.where(hyp_valid, hard, -1))
     else:
         chosen = jnp.argmax(probs)  # argmax (`draw`, eval)
 
@@ -235,7 +240,8 @@ def _solve_single(coords, grid, cam_mat, key, cfg: RansacConfig, training: bool)
     final_errs = _project_errors(win, coords, grid, cam_mat, cfg.max_pixel_error)
     inliers = jnp.sum(final_errs < cfg.inlier_threshold)
 
-    plog = jnp.where(probs > 0, jnp.log2(jnp.maximum(probs, 1e-30)), 0.0)
+    # Shannon entropy in nats, matching the reference (`dsacstar_util.h:711-719`)
+    plog = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), 0.0)
     ent = -jnp.sum(probs * plog)
 
     cam_to_world = invert_se3(pose_vec_to_w2c(win))

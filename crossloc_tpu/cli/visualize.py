@@ -73,12 +73,19 @@ def plot_pose_error_cdf(t_errs, r_errs, out_path: str):
     import matplotlib.pyplot as plt
 
     fig, axes = plt.subplots(1, 2, figsize=(12, 4))
-    for ax, errs, label in zip(axes, (t_errs, r_errs), ("translation error (m)", "rotation error (deg)")):
+    units = ("m", "deg")
+    for ax, errs, label, unit in zip(
+            axes, (t_errs, r_errs), ("translation error (m)", "rotation error (deg)"), units):
         e = np.sort(np.asarray(errs))
         cdf = np.arange(1, len(e) + 1) / len(e)
         ax.plot(e, cdf)
+        med = float(np.median(e))
+        # median marker line, as in the reference CDF plot (visualize.py:185-189)
+        ax.axvline(med, color="tab:orange", label="Median={:.2f}{:s}".format(med, unit))
         ax.set_xlabel(label)
-        ax.set_ylabel("CDF")
+        ax.set_ylabel("Cumulative probability")
+        ax.set_ylim([0, 1])
+        ax.legend(loc="center right")
         ax.grid(alpha=0.3)
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
@@ -144,6 +151,45 @@ def plot_keywords(log_path: str, keywords, out_path=None, window: int = 100):
     return out_path
 
 
+def load_pose_errors(paths):
+    """Collect per-frame (t_err, r_err) arrays from eval artifacts.
+
+    Accepts any mix of `*_pose_errors.npy` files ([N, 2] t/r written by
+    `eval.reports.scene_coords_report`), `--save_pred` npz dumps
+    (keys `pose_t_err`/`pose_r_err`), and directories (recursively globbed
+    for both). Analog of the reference's per-run error arrays fed to
+    `plot_results_info` (`visualize.py:159-204`)."""
+    import glob
+
+    t_errs, r_errs = [], []
+
+    def _consume(path):
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                if "pose_t_err" in z and "pose_r_err" in z:
+                    t_errs.append(np.atleast_1d(np.asarray(z["pose_t_err"], np.float64)))
+                    r_errs.append(np.atleast_1d(np.asarray(z["pose_r_err"], np.float64)))
+        else:
+            arr = np.asarray(np.load(path), np.float64).reshape(-1, 2)
+            t_errs.append(arr[:, 0])
+            r_errs.append(arr[:, 1])
+
+    for p in paths:
+        if os.path.isdir(p):
+            hits = sorted(
+                glob.glob(os.path.join(p, "**", "*_pose_errors.npy"), recursive=True)
+            ) + sorted(glob.glob(os.path.join(p, "**", "*.npz"), recursive=True))
+            for h in hits:
+                _consume(h)
+        else:
+            _consume(p)
+    if not t_errs:
+        raise FileNotFoundError(
+            "no pose-error artifacts (*_pose_errors.npy / pred *.npz) in %s" % (paths,)
+        )
+    return np.concatenate(t_errs), np.concatenate(r_errs)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     # positional log path like the reference (`visualize.py:27`); --log kept
@@ -151,11 +197,23 @@ def main(argv=None):
     parser.add_argument("--log", type=str, default=None, help="path to output.log")
     parser.add_argument("--keywords", type=str, default=None, nargs="+",
                         help="plot arbitrary '<keyword>: <value>' series from the log")
+    parser.add_argument("--pose_errors", type=str, default=None, nargs="+",
+                        help="*_pose_errors.npy files, --save_pred npz dumps, or "
+                             "directories thereof; renders pose-error CDFs "
+                             "(reference visualize.py:159-204)")
     parser.add_argument("--window", type=int, default=100, help="moving-average window")
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args(argv)
     log = args.log_path or args.log
-    if log and args.keywords:
+    if args.pose_errors:
+        t_errs, r_errs = load_pose_errors(args.pose_errors)
+        first = args.pose_errors[0]
+        base_dir = first if os.path.isdir(first) else os.path.dirname(os.path.abspath(first))
+        out = plot_pose_error_cdf(
+            t_errs, r_errs, args.out or os.path.join(base_dir, "results_info.png"))
+        print("Saved pose-error CDF ({:d} frames, median {:.2f} m / {:.2f} deg) to {:s}".format(
+            len(t_errs), float(np.median(t_errs)), float(np.median(r_errs)), out))
+    elif log and args.keywords:
         out = plot_keywords(log, args.keywords, args.out, args.window)
         print("Saved keyword plots to", out)
     elif log:

@@ -57,6 +57,12 @@ def scene_coords_report(
     base = os.path.basename(network_path)
     out_dir = os.path.dirname(network_path)
     np.save(os.path.join(out_dir, "{:s}_{:s}_out_xyz_poses.npy".format(section, base)), xyz)
+    # Per-frame (t, r) errors for CDF plotting (`visualize.py:159-204` reads
+    # per-frame error arrays); [N, 2] columns = translation m, rotation deg.
+    np.save(
+        os.path.join(out_dir, "{:s}_{:s}_pose_errors.npy".format(section, base)),
+        np.stack([t, r], axis=1),
+    )
     with open(os.path.join(out_dir, "{:s}_{:s}_out_xyz_poses.txt".format(section, base)), "w") as f:
         for file, pose_xyz in zip(file_name_ls, xyz):
             f.write(file + " {:.2f} {:.2f} {:.2f}".format(*pose_xyz) + "\n")

@@ -52,3 +52,38 @@ class TestVisualize:
         out = str(tmp_path / "cdf.png")
         plot_pose_error_cdf(rng.uniform(0, 10, 100), rng.uniform(0, 5, 100), out)
         assert os.path.exists(out)
+
+    def test_pose_cdf_cli_from_eval_artifacts(self, tmp_path, rng, capsys):
+        """`--pose_errors` renders a CDF from the eval layer's own artifacts:
+        a *_pose_errors.npy (written by eval.reports.scene_coords_report) and
+        a --save_pred npz dump, mixed in one invocation."""
+        from crossloc_tpu.cli.visualize import load_pose_errors
+
+        npy = tmp_path / "val_sim_model.net_pose_errors.npy"
+        np.save(str(npy), np.stack([rng.uniform(0, 10, 20), rng.uniform(0, 5, 20)], axis=1))
+        pred_dir = tmp_path / "pred"
+        pred_dir.mkdir()
+        np.savez(str(pred_dir / "frame0.npz"), pose_t_err=3.0, pose_r_err=1.5)
+
+        t, r = load_pose_errors([str(npy), str(pred_dir)])
+        assert len(t) == 21 and len(r) == 21 and t[-1] == 3.0 and r[-1] == 1.5
+
+        out = str(tmp_path / "results_info.png")
+        main(["--pose_errors", str(tmp_path), "--out", out])
+        assert os.path.exists(out)
+        assert "Saved pose-error CDF (21 frames" in capsys.readouterr().out
+
+    def test_report_writes_pose_errors_npy(self, tmp_path):
+        """scene_coords_report persists per-frame (t, r) errors for the CDF CLI."""
+        from crossloc_tpu.eval.reports import scene_coords_report
+
+        net = tmp_path / "model.net"
+        net.touch()
+        scene_coords_report(
+            t_err_ls=[1.0, 2.0], r_err_ls=[0.5, 0.7],
+            est_xyz_ls=[[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]],
+            coords_error_ls=[np.ones(4), np.ones(4)],
+            testing_log=str(tmp_path / "testing.log"), network_path=str(net),
+            section="val_sim", file_name_ls=["a.png", "b.png"])
+        errs = np.load(str(tmp_path / "val_sim_model.net_pose_errors.npy"))
+        np.testing.assert_allclose(errs, [[1.0, 0.5], [2.0, 0.7]])

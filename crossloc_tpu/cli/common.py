@@ -102,7 +102,11 @@ def build_train_loader(
     if not ("urbanscape" in scene.lower() or "naturescape" in scene.lower()):
         mean_ds = dataset
     mean = get_label_mean(scene, task, dataset=mean_ds)
-    loader = Loader(dataset, batch_size=batch_size, shuffle=True)
+    # Multi-host: each process loads its interleaved 1/process_count slice
+    # (identical shuffle seed across processes => disjoint coverage).
+    from ..parallel import local_data_shard
+
+    loader = Loader(dataset, batch_size=batch_size, shuffle=True, shard=local_data_shard())
     logging.info("This training uses {:d} data points. {:d} iterations per epoch.".format(
         len(dataset), len(dataset)))
     return dataset, loader, mean

@@ -54,6 +54,9 @@ def get_output_path(opt, project_dir=None):
 def main(argv=None):
     parser = _extend_parser(config_parser("Fine-tune a task decoder over frozen MLR encoders."))
     opt = normalize_opt(parser.parse_args(argv))
+    from ..parallel import initialize_distributed
+
+    initialize_distributed()  # no-op unless multi-host env is set
 
     encoder_paths = check_encoders(
         list(opt.encoders), opt.coord_weight, opt.depth_weight, opt.normal_weight,

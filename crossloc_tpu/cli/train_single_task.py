@@ -244,6 +244,11 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
 
 def main(argv=None):
     opt = normalize_opt(config_parser().parse_args(argv))
+    # Multi-host: joins the job iff CROSSLOC_COORDINATOR / JAX_* env is set
+    # (no-op single-host). Must precede first device use.
+    from ..parallel import initialize_distributed
+
+    initialize_distributed()
     output_dir, ckpt_output_dir = config_log(opt, get_output_path(opt))
     run_training(opt, output_dir, ckpt_output_dir)
 

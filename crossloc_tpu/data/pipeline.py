@@ -51,6 +51,7 @@ class Loader:
         num_workers: int = 4,
         prefetch: int = 2,
         drop_last: bool = True,
+        shard: tuple = (0, 1),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,15 +60,29 @@ class Loader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # Multi-host feeding: (process_index, process_count). Every process
+        # shuffles the FULL index list with the same seed, then reads the
+        # interleaved slice idx[rank::world] — disjoint coverage without
+        # coordination (see parallel.distributed.global_batch_from_local).
+        rank, world = shard
+        if not (0 <= rank < world):
+            raise ValueError(f"shard rank {rank} not in [0, {world})")
+        self.shard = (rank, world)
+
+    def _local_size(self) -> int:
+        rank, world = self.shard
+        return len(range(rank, len(self.dataset), world))
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._local_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        rank, world = self.shard
+        idx = idx[rank::world]
         nb = len(self)
         for b in range(nb):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]

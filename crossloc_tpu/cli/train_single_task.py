@@ -166,11 +166,13 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
 
     @jax.jit
     def fused_step(state: TrainState, images, labels, poses, focal, key):
-        images, labels, poses, focal = augment_batch(
+        images, labels, poses, focal, pp_shift = augment_batch(
             images, labels, poses, focal, key, aug_cfg, semantics=opt.task == "semantics"
         )
         return train_step(
-            state, TrainBatch(images=images, poses=poses, labels=labels, focal=focal)
+            state,
+            TrainBatch(images=images, poses=poses, labels=labels, focal=focal,
+                       pp_shift=pp_shift),
         )
 
     def shard(arrays):

@@ -4,6 +4,7 @@ from .augment import (
     augment_batch,
     color_jitter,
     normalize_images,
+    pp_shift_for_translation,
     rotation_z_pose,
     to_grayscale,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "color_jitter",
     "get_label_mean",
     "normalize_images",
+    "pp_shift_for_translation",
     "rotation_z_pose",
     "synth_sample",
     "to_grayscale",

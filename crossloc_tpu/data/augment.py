@@ -7,13 +7,17 @@ ONE angle per minibatch, bilinear for images / nearest for labels, fill -1
 (0 for semantics), focal scaled, pose post-multiplied by an in-plane
 rotation (`:430-438`).
 
-TPU-first divergence (documented): the reference materializes a *resized*
-canvas (dynamic shapes per batch). XLA requires static shapes, so we sample
-the scaled+rotated view on a FIXED canvas through one inverse-affine gather:
-zoom-in crops borders, zoom-out pads with the fill value. The augmentation
-distribution is equivalent; the (image, pose, focal, label) tuple remains
-exactly geometrically consistent, which tests verify by asserting zero
-reprojection error of augmented dense labels under the augmented camera.
+TPU-first divergence (measured — AUG_NOTES.md): the reference materializes
+a *resized* canvas (dynamic shapes per batch). XLA requires static shapes,
+so we sample the scaled+rotated view on a FIXED canvas through one
+inverse-affine gather: zoom-in crops a window, zoom-out pads with the fill
+value. A center-only zoom-in crop would bias supervision toward the image
+center (border cells never seen at high resolution), so the crop window is
+drawn uniformly over the feasible range (one shared draw per batch, like
+scale/angle); the induced principal-point shift is returned so the loss's
+camera matrix keeps the (image, pose, focal, label) tuple exactly
+geometrically consistent — tests assert zero reprojection error of
+augmented dense labels under the augmented camera, translation included.
 
 Grayscale conversion uses the ITU-R 601 luma weights (PIL's `Grayscale`).
 """
@@ -33,6 +37,7 @@ class AugmentConfig(NamedTuple):
     aug_scale_max: float = 3.0 / 2.0
     aug_brightness: float = 0.1
     aug_contrast: float = 0.1
+    aug_translation: bool = True  # random zoom-in crop window (see module doc)
     grayscale: bool = False
     nodata_value: float = -1.0
     subsample: int = 8
@@ -65,16 +70,28 @@ def color_jitter(images, key, brightness: float = 0.1, contrast: float = 0.1):
     return jnp.clip((images - gray_mean) * c + gray_mean, 0.0, 1.0)
 
 
-def _inverse_affine_coords(out_h, out_w, in_h, in_w, scale, angle_rad, dtype):
+def _inverse_affine_coords(out_h, out_w, in_h, in_w, scale, angle_rad, dtype,
+                           tx=0.0, ty=0.0):
     """Input-pixel coords for each output pixel of the fixed canvas:
-    in = C_in + R(theta) (out - C_out) / scale  (see module docstring)."""
+    in = C_in + R(theta) (out - C_out) / scale + t  (see module docstring).
+    (tx, ty) is the crop-window offset in INPUT pixels."""
     ys = jnp.arange(out_h, dtype=dtype) - (out_h - 1) / 2.0
     xs = jnp.arange(out_w, dtype=dtype) - (out_w - 1) / 2.0
     gx, gy = jnp.meshgrid(xs, ys)
     cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
-    rx = (cos * gx - sin * gy) / scale + (in_w - 1) / 2.0
-    ry = (sin * gx + cos * gy) / scale + (in_h - 1) / 2.0
+    rx = (cos * gx - sin * gy) / scale + (in_w - 1) / 2.0 + tx
+    ry = (sin * gx + cos * gy) / scale + (in_h - 1) / 2.0 + ty
     return rx, ry
+
+
+def pp_shift_for_translation(scale, angle_rad, tx, ty):
+    """Principal-point shift induced by a crop-window offset of (tx, ty)
+    input pixels: out = C + s R(-theta)(in - C - t), so every projected
+    pixel (and thus the principal point) moves by -s R(-theta) t."""
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    dx = -scale * (cos * tx + sin * ty)
+    dy = -scale * (-sin * tx + cos * ty)
+    return jnp.stack([dx, dy])
 
 
 def _bilinear_sample(img, rx, ry, fill):
@@ -131,18 +148,31 @@ def augment_batch(
 
     images: [B, H, W, 3] raw [0, 1]; labels: [B, h, w, C] (subsampled) or
     [B, H, W, 1] full-size semantics ids; poses [B, 4, 4]; focal [] or [B].
-    Returns (normalized_images, labels, poses, focal), same shapes.
+    Returns (normalized_images, labels, poses, focal, pp_shift); pp_shift
+    [2] is the (dx, dy) principal-point offset of the augmented camera
+    (zero unless a zoom-in crop window was drawn) — add it to the camera
+    matrix used by the loss (`train.TrainBatch.pp_shift`).
     """
     B, H, W, _ = images.shape
-    k_scale, k_rot, k_jit = jax.random.split(key, 3)
+    k_scale, k_rot, k_jit, k_tr = jax.random.split(key, 4)
     scale = jax.random.uniform(k_scale, (), minval=cfg.aug_scale_min, maxval=cfg.aug_scale_max)
     angle = jax.random.uniform(k_rot, (), minval=-cfg.aug_rotation, maxval=cfg.aug_rotation)
     angle_rad = jnp.deg2rad(angle)
 
+    if cfg.aug_translation:
+        # zoom-in shows a 1/scale window of the source; draw its position
+        # uniformly over the feasible range instead of always the center
+        # (one shared draw per batch). Zero whenever scale <= 1.
+        slack = jnp.maximum(0.0, 1.0 - 1.0 / scale)
+        lim = jnp.stack([(W - 1) / 2.0, (H - 1) / 2.0]) * slack
+        tx, ty = jax.random.uniform(k_tr, (2,), minval=-1.0, maxval=1.0) * lim
+    else:
+        tx = ty = jnp.zeros(())
+
     images = color_jitter(images, k_jit, cfg.aug_brightness, cfg.aug_contrast)
     images = normalize_images(images, cfg.grayscale)
 
-    rx, ry = _inverse_affine_coords(H, W, H, W, scale, angle_rad, images.dtype)
+    rx, ry = _inverse_affine_coords(H, W, H, W, scale, angle_rad, images.dtype, tx, ty)
     images = jax.vmap(lambda im: _bilinear_sample(im, rx, ry, cfg.nodata_value))(images)
 
     if semantics:
@@ -152,11 +182,14 @@ def augment_batch(
         fill = cfg.nodata_value
         h, w = labels.shape[1], labels.shape[2]
         # label cells live on the subsampled grid; map their pixel centers
-        # (x*ss + ss/2) through the same inverse affine
+        # (x*ss + ss/2) through the same inverse affine; the crop offset is
+        # in input pixels, i.e. subsample x label cells
         ss = cfg.subsample
-        lrx, lry = _inverse_affine_coords(h, w, h, w, scale, angle_rad, images.dtype)
+        lrx, lry = _inverse_affine_coords(
+            h, w, h, w, scale, angle_rad, images.dtype, tx / ss, ty / ss)
     labels = jax.vmap(lambda lb: _nearest_sample(lb, lrx, lry, fill))(labels)
 
     poses = poses @ rotation_z_pose(angle_rad, poses.dtype)
     focal = focal * scale
-    return images, labels, poses, focal
+    pp_shift = pp_shift_for_translation(scale, angle_rad, tx, ty)
+    return images, labels, poses, focal, pp_shift

@@ -32,6 +32,8 @@ class TrainBatch(NamedTuple):
     poses: jnp.ndarray  # [B, 4, 4] cam-to-world
     labels: jnp.ndarray  # [B, h, w, C_task] task ground truth
     focal: jnp.ndarray  # [] or [B] focal length (post-augmentation)
+    pp_shift: Optional[jnp.ndarray] = None  # [2] principal-point offset from
+    # the augmentation's zoom-in crop window (data.augment_batch), or None
 
 
 def task_loss_fn(
@@ -58,6 +60,8 @@ def task_loss_fn(
         img_h, img_w = batch.images.shape[1], batch.images.shape[2]
         focal = jnp.reshape(batch.focal, (-1,))[0]
         cam_mat = intrinsics(focal, img_w, img_h)
+        if batch.pp_shift is not None:
+            cam_mat = cam_mat.at[0, 2].add(batch.pp_shift[0]).at[1, 2].add(batch.pp_shift[1])
         return scene_coords_loss(preds, batch.labels, batch.poses, cam_mat, unc, cfg, reduction)
     if task == "depth":
         cfg = depth_cfg or DepthLossConfig(nodata_value=nodata_value)

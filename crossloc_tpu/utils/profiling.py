@@ -21,11 +21,16 @@ def device_sync(x) -> None:
     """Force completion of a device computation.
 
     On tunneled platforms `block_until_ready()` can return at dispatch time;
-    pulling one element to the host is the only reliable barrier.
-    """
+    pulling to the host is the only reliable barrier. Pull ONE element via an
+    on-device gather (which queues behind the timed computation) — pulling
+    the full array would time the tunnel transfer, not the device (a [64,
+    480, 720, 32] activation is 1.4 GB; measured 20 s of pure transfer)."""
     leaves = jax.tree_util.tree_leaves(x)
     if leaves:
-        np.asarray(leaves[0]).ravel()[:1]
+        leaf = leaves[0]
+        if hasattr(leaf, "ndim") and leaf.ndim > 0:
+            leaf = leaf[(0,) * leaf.ndim]
+        np.asarray(leaf)
 
 
 class StopWatch:

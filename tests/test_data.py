@@ -96,6 +96,47 @@ class TestAugment:
 
             np.testing.assert_allclose(p_proj, p_out, atol=0.02)
 
+    def test_translation_pp_shift_exactly_consistent(self, rng):
+        """Zoom-in crop-window offsets keep exact geometric consistency:
+        a world point seen at input pixel p projects, through the camera
+        with the returned principal-point shift, exactly to the forward
+        affine image of p (translation included)."""
+        from crossloc_tpu.data.augment import _inverse_affine_coords, rotation_z_pose
+
+        s_ = data.synth_sample(rng, img_h=192, img_w=256, focal=200.0)
+        pose = jnp.asarray(s_["pose"])
+        H, W = 192, 256
+        for seed in range(5):
+            k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+            scale = float(jax.random.uniform(k1, (), minval=1.05, maxval=1.5))
+            angle = float(jax.random.uniform(k2, (), minval=-30.0, maxval=30.0))
+            slack = 1.0 - 1.0 / scale
+            t = np.asarray(jax.random.uniform(k3, (2,), minval=-1.0, maxval=1.0)) \
+                * np.asarray([(W - 1) / 2, (H - 1) / 2]) * slack
+            rad = np.deg2rad(angle)
+            pose_aug = pose @ rotation_z_pose(rad)
+            focal_aug = s_["focal"] * scale
+            pp = np.asarray(data.pp_shift_for_translation(
+                jnp.float32(scale), jnp.float32(rad), jnp.float32(t[0]), jnp.float32(t[1])))
+
+            X = jnp.asarray(s_["coord"][5, 7])
+            p_in = np.asarray([7 * 8 + 4, 5 * 8 + 4], np.float64)
+
+            # forward affine with crop offset: out = C + s R(-theta)(in - C - t)
+            c = np.asarray([(W - 1) / 2, (H - 1) / 2])
+            Rm = np.asarray([[np.cos(rad), np.sin(rad)], [-np.sin(rad), np.cos(rad)]])
+            p_out = c + scale * (Rm @ ((p_in - 0.5) - c - t)) + 0.5
+
+            K = np.array(geo.intrinsics(focal_aug, W, H), copy=True)
+            K[0, 2] += pp[0]
+            K[1, 2] += pp[1]
+            w2c = np.asarray(geo.invert_se3(pose_aug))
+            Xc = w2c[:3, :3] @ np.asarray(X) + w2c[:3, 3]
+            proj = K @ Xc
+            p_proj = proj[0:2] / proj[2]
+
+            np.testing.assert_allclose(p_proj, p_out, atol=0.05)
+
     def test_augmented_labels_consistent_within_quantization(self, rng):
         """The coord loss of augmented labels vs themselves under the
         augmented camera stays within nearest-resampling quantization
@@ -109,10 +150,11 @@ class TestAugment:
         focal = jnp.full((B,), s["focal"])
 
         for seed in range(4):
-            aug_img, aug_lab, aug_pose, aug_focal = data.augment_batch(
+            aug_img, aug_lab, aug_pose, aug_focal, pp = data.augment_batch(
                 images, labels, poses, focal, jax.random.PRNGKey(seed)
             )
             K = geo.intrinsics(aug_focal[0], 256, 192)
+            K = K.at[0, 2].add(pp[0]).at[1, 2].add(pp[1])
             loss, valid_rate = losses.scene_coords_loss(aug_lab, aug_lab, aug_pose, K)
             # per-pixel reprojection error bounded by cell quantization
             assert float(loss) < 8.0, f"seed {seed}: loss={float(loss)}"
@@ -123,7 +165,7 @@ class TestAugment:
         labels = jnp.ones((1, 8, 8, 3))
         poses = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
         cfg = data.AugmentConfig(aug_scale_min=0.5, aug_scale_max=0.51)  # zoom out
-        img, lab, _, _ = data.augment_batch(
+        img, lab, _, _, _ = data.augment_batch(
             images, labels, poses, jnp.float32(100.0), jax.random.PRNGKey(0), cfg
         )
         # zoom-out maps canvas corners outside the input -> fill value

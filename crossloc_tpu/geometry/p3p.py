@@ -484,7 +484,7 @@ def bearings_from_pixels(pixels, cam_mat):
     return v / _safe_sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
 
 
-def p3p_from_4pts(X4, pix4, cam_mat):
+def _p3p_from_4pts_impl(X4, pix4, cam_mat):
     """Pose from a 4-point minimal sample: P3P on points 0-2, point 3 selects.
 
     Mirrors the behavior of the reference sampler (`dsacstar_util.h:168-219`:
@@ -496,8 +496,6 @@ def p3p_from_4pts(X4, pix4, cam_mat):
     SoA end to end: candidate scoring, 4th-point disambiguation and the
     winner selection all run on scalar component arrays.
     """
-    X4 = _grad_firewall(X4)
-    pix4 = _grad_firewall(pix4)
     fx = cam_mat[..., 0, 0]
     fy = cam_mat[..., 1, 1]
     cx = cam_mat[..., 0, 2]
@@ -541,3 +539,84 @@ def p3p_from_4pts(X4, pix4, cam_mat):
     R_best = jnp.stack(best_R, axis=-1).reshape(best_R[0].shape + (3, 3))
     t_best = jnp.stack(best_t, axis=-1)
     return R_best, t_best, best_err, any_valid
+
+
+@jax.custom_vjp
+def p3p_from_4pts(X4, pix4, cam_mat):
+    """`_p3p_from_4pts_impl` with an implicit-function-theorem backward.
+
+    Reverse- (and even forward-) differentiating the unrolled Lambda-Twist
+    algebra produces graphs XLA's CPU backend cannot compile in reasonable
+    time (hours for an 8-hypothesis training step). The returned pose is
+    instead differentiated implicitly: (R, t) satisfies the 3-point
+    projection system F(pose, X) = 0 exactly, so
+    d pose / dX = -(dF/dpose)^-1 dF/dX with F a six-equation projection —
+    a tiny graph, one 6x6 solve, exact gradients for the selected root.
+    This replaces the reference's finite-difference `dPNP` Jacobian at the
+    same boundary (`dsacstar_derivative.h:131-188`); cotangents are
+    sanitized like its jacobian clamping (`dsacstar.cpp:411-412`). The 4th
+    (disambiguation) point and `err4` feed only threshold comparisons
+    downstream and carry no gradient.
+    """
+    return _p3p_from_4pts_impl(X4, pix4, cam_mat)
+
+
+def _p3p4_fwd(X4, pix4, cam_mat):
+    out = _p3p_from_4pts_impl(X4, pix4, cam_mat)
+    R, t, _, valid = out
+    return out, (X4, pix4, cam_mat, R, t, valid)
+
+
+def _p3p4_bwd(res, g):
+    from .se3 import rodrigues as _rodrigues, inverse_rodrigues as _inv_rodrigues
+
+    X4, pix4, cam_mat, R, t, valid = res
+    gR, gt, _, _ = g
+
+    lead = X4.shape[:-2]
+    M = 1
+    for d in lead:
+        M *= d
+    X3 = X4.reshape(M, 4, 3)[:, :3, :]
+    pix3 = pix4.reshape(M, 4, 2)[:, :3, :]
+    Km = jnp.broadcast_to(cam_mat, lead + (3, 3)).reshape(M, 3, 3)
+    Rm = R.reshape(M, 3, 3)
+    tm = t.reshape(M, 3)
+    gRm = gR.reshape(M, 3, 3)
+    gtm = gt.reshape(M, 3)
+    vm = valid.reshape(M)
+
+    def one(X3i, pix3i, Ki, Ri, ti, gRi, gti):
+        rvec = _inv_rodrigues(Ri)
+        p6 = jnp.concatenate([rvec, ti])
+
+        def F(p6_, X9_):
+            Rr = _rodrigues(p6_[0:3])
+            Xc = X9_.reshape(3, 3) @ Rr.T + p6_[3:6]
+            z = jnp.maximum(Xc[:, 2], 1e-9)
+            u = Ki[0, 0] * Xc[:, 0] / z + Ki[0, 2] - pix3i[:, 0]
+            v = Ki[1, 1] * Xc[:, 1] / z + Ki[1, 2] - pix3i[:, 1]
+            return jnp.concatenate([u, v])
+
+        X9 = X3i.reshape(9)
+        A = jax.jacfwd(F, argnums=0)(p6, X9)  # [6, 6]
+        Bm = jax.jacfwd(F, argnums=1)(p6, X9)  # [6, 9]
+        # cotangent in pose6 space: g_p6 = [sum_ij gR dR/dr, gt]
+        dRdr = jax.jacfwd(_rodrigues)(rvec)  # [3, 3, 3] (out_ij, r_k)
+        g_r = jnp.einsum("ij,ijk->k", gRi, dRdr)
+        g_p6 = jnp.concatenate([g_r, gti])
+        # dpose/dX = -A^-1 B  =>  gX = -B^T A^-T g_p6
+        y = jnp.linalg.solve(A.T, g_p6)
+        return -(Bm.T @ y)  # [9]
+
+    gX3 = jax.vmap(one)(X3, pix3, Km, Rm, tm, gRm, gtm)
+    gX3 = jnp.where(vm[:, None], gX3, 0.0)
+    gX3 = jnp.where(jnp.isfinite(gX3), gX3, 0.0)  # grad firewall
+    gX3 = jnp.clip(gX3, -1e6, 1e6)
+    gX4 = jnp.concatenate(
+        [gX3.reshape(M, 3, 3), jnp.zeros((M, 1, 3), gX3.dtype)], axis=1
+    ).reshape(X4.shape)
+    return gX4, jnp.zeros_like(pix4), jnp.zeros_like(cam_mat)
+
+
+p3p_from_4pts.defvjp(_p3p4_fwd, _p3p4_bwd)

@@ -26,9 +26,10 @@ BASELINE_IMG_PER_SEC = 5000.0  # north-star target (BASELINE.json)
 
 
 def main():
-    # default batch 64: fused throughput rises with batch (437/446/478 img/s
-    # at B=16/32/64 in round 2); the metric name embeds the batch size
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # default batch 128: fused throughput rises with batch then plateaus
+    # (437/446/478/508/506 img/s at B=16/32/64/128/256 in round 2); the
+    # metric name embeds the batch size
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     model = models.build_network(

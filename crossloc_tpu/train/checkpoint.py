@@ -54,16 +54,34 @@ def latest_state_file(directory: str) -> Optional[str]:
 class CheckpointManager:
     """Rotating full-state checkpoints: save every call, keep the newest N.
 
-    A minimal orbax-style manager over the msgpack `.state` format; the
-    interoperable `.net` snapshots remain the training loop's contract, this
-    adds crash-exact resume with bounded disk use.
+    Two storage backends behind one interface; the interoperable `.net`
+    snapshots remain the training loop's contract, this adds crash-exact
+    resume with bounded disk use.
+
+      * "msgpack" (default): single-file flax serialization with an atomic
+        rename — zero extra dependencies, trivially inspectable.
+      * "orbax": `orbax.checkpoint.CheckpointManager` — async-capable,
+        multi-host coordinated (every process must call save/restore, which
+        is the right contract for the `parallel.distributed` path).
     """
 
-    def __init__(self, directory: str, keep: int = 5, prefix: str = "state"):
+    def __init__(self, directory: str, keep: int = 5, prefix: str = "state",
+                 backend: str = "msgpack"):
         self.directory = directory
         self.keep = keep
         self.prefix = prefix
+        self.backend = backend
         os.makedirs(directory, exist_ok=True)
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._ocp = ocp
+            self._mgr = ocp.CheckpointManager(
+                os.path.abspath(directory),
+                options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+            )
+        elif backend != "msgpack":
+            raise ValueError(f"unknown checkpoint backend: {backend!r}")
 
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"{self.prefix}_{step:09d}{STATE_SUFFIX}")
@@ -80,12 +98,24 @@ class CheckpointManager:
 
     def save(self, state: TrainState, step: Optional[int] = None) -> str:
         step = int(state.step) if step is None else int(step)
+        if self.backend == "orbax":
+            self._mgr.save(step, args=self._ocp.args.StandardSave(
+                jax.device_get(state)))
+            self._mgr.wait_until_finished()
+            return os.path.join(os.path.abspath(self.directory), str(step))
         path = save_train_state(self._path(step), state)
         for old in self.all_steps()[: -self.keep]:
             os.remove(self._path(old))
         return path
 
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        if self.backend == "orbax":
+            step = self._mgr.latest_step()
+            if step is None:
+                return None
+            restored = self._mgr.restore(
+                step, args=self._ocp.args.StandardRestore(jax.device_get(template)))
+            return restored if isinstance(restored, TrainState) else TrainState(*restored)
         steps = self.all_steps()
         if not steps:
             return None

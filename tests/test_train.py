@@ -287,6 +287,33 @@ class TestCheckpointManager:
         mgr = CheckpointManager(str(tmp_path / "empty"))
         assert mgr.restore_latest(state) is None
 
+    def test_orbax_backend_round_trip(self, rng, tmp_path):
+        """The orbax backend saves/rotates/restores the exact TrainState
+        (async-capable + multi-host coordinated storage path)."""
+        from crossloc_tpu.train import CheckpointManager
+
+        model = models.build_network("depth", tiny=True, mean=[0.0])
+        tx = train.make_optimizer(1e-4)
+        images = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
+        state = train.create_train_state(model, tx, images)
+        step = jax.jit(train.make_train_step(model, tx, "depth"))
+        batch = train.TrainBatch(
+            images=images, poses=jnp.broadcast_to(jnp.eye(4), (1, 4, 4)),
+            labels=jnp.asarray(rng.uniform(1, 50, size=(1, 2, 2, 1)), jnp.float32),
+            focal=jnp.float32(100.0))
+        state, _ = step(state, batch)
+
+        mgr = CheckpointManager(str(tmp_path / "ocp"), keep=2, backend="orbax")
+        for s in range(4):
+            mgr.save(state, step=s)
+        empty = CheckpointManager(str(tmp_path / "ocp_empty"), backend="orbax")
+        assert empty.restore_latest(state) is None
+        restored = mgr.restore_latest(state)
+        assert type(restored) is type(state)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            jax.device_get(state), jax.device_get(restored))
+
 
 class TestDistributed:
     """Multi-host scaffolding — everything testable single-process

@@ -88,5 +88,8 @@ def expected_pose_loss(
         losses = jnp.where(hyp_valid, losses, 0.0)
         return jnp.sum(probs * losses)
 
-    exp_loss = jax.vmap(per_image)(coords, cams, keys, gt_poses)
+    # full-f32 matmul precision: TPU DEFAULT degrades the solver geometry
+    # 2.2x (see solve_batch docstring / BENCH_NOTES.md)
+    with jax.default_matmul_precision("float32"):
+        exp_loss = jax.vmap(per_image)(coords, cams, keys, gt_poses)
     return jnp.mean(exp_loss), {"per_image": exp_loss}

@@ -123,7 +123,9 @@ def solve_rgbd(
         w2c = jnp.eye(4, dtype=o.dtype).at[0:3, 0:3].set(Rw).at[0:3, 3].set(tw)
         return invert_se3(w2c), scores, probs, chosen, inl, any_valid
 
-    c2w, scores, probs, chosen, inl, valid = jax.vmap(per_image)(obj, eye, vmask, keys)
+    # full-f32 matmul precision (see solve_batch docstring)
+    with jax.default_matmul_precision("float32"):
+        c2w, scores, probs, chosen, inl, valid = jax.vmap(per_image)(obj, eye, vmask, keys)
     return RgbdResult(c2w, scores, probs, chosen, inl, valid)
 
 
@@ -185,4 +187,5 @@ def expected_pose_loss_rgbd(
         losses = jnp.where(hyp_valid, pose_loss(est, gt, loss_cfg), 0.0)
         return jnp.sum(probs * losses)
 
-    return jnp.mean(jax.vmap(per_image)(obj, eye, vmask, keys, gt_poses))
+    with jax.default_matmul_precision("float32"):
+        return jnp.mean(jax.vmap(per_image)(obj, eye, vmask, keys, gt_poses))

@@ -83,6 +83,8 @@ def solve_batch_hypsharded(
             return invert_se3(pose_vec_to_w2c(win))
 
         keys = jax.random.split(key_rep, coords_rep.shape[0])
-        return jax.vmap(per_image)(coords_rep, cams_rep, keys)
+        # full-f32 matmul precision (see solve_batch docstring)
+        with jax.default_matmul_precision("float32"):
+            return jax.vmap(per_image)(coords_rep, cams_rep, keys)
 
     return run(coords, cams, key)

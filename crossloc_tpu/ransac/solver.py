@@ -272,6 +272,13 @@ def solve_batch(
     (principal point assumed central, `utils/evaluation.py:168-170`).
     Everything jits; gradients flow to scene_coords (score + refinement
     paths), replacing `dsacstar_derivative.h` entirely.
+
+    Solver math is traced under full-f32 matmul precision: TPU's DEFAULT
+    precision evaluates f32 dots/einsums at bf16-class accuracy, which
+    degrades the P3P/GN geometry 2.2x on the noisy GT-oracle benchmark
+    (median 0.41 m -> 0.19 m with f32 precision — matching the reference
+    C++ plugin; BENCH_NOTES.md). The affected contractions are tiny (3x3,
+    6x6, Nx3), so the cost is negligible next to the conv tower.
     """
     B, Hs, Ws, _ = scene_coords.shape
     N = Hs * Ws
@@ -282,6 +289,7 @@ def solve_batch(
     coords = scene_coords.reshape(B, N, 3)
     keys = jax.random.split(key, B)
 
-    return jax.vmap(
-        lambda c, K, k: _solve_single(c, grid, K, k, cfg, training)
-    )(coords, cams, keys)
+    with jax.default_matmul_precision("float32"):
+        return jax.vmap(
+            lambda c, K, k: _solve_single(c, grid, K, k, cfg, training)
+        )(coords, cams, keys)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry import invert_se3, pixel_grid
@@ -54,13 +55,16 @@ def scene_coords_loss(
 
     # world -> camera for both prediction and gt (`loss/coord.py:20-38`)
     w2c = invert_se3(gt_poses)[:, 0:3, :]  # [B, 3, 4]
-    cam_pred = jnp.einsum("bij,bnj->bni", w2c[..., 0:3], pred) + w2c[..., None, :, 3]
-    cam_gt = jnp.einsum("bij,bnj->bni", w2c[..., 0:3], gt) + w2c[..., None, :, 3]
+    # full-f32 contractions: TPU's default matmul precision is bf16-class,
+    # which adds ~0.1 px of noise to reprojections at 100 m scene scale
+    hp = jax.lax.Precision.HIGHEST
+    cam_pred = jnp.einsum("bij,bnj->bni", w2c[..., 0:3], pred, precision=hp) + w2c[..., None, :, 3]
+    cam_gt = jnp.einsum("bij,bnj->bni", w2c[..., 0:3], gt, precision=hp) + w2c[..., None, :, 3]
     reg_error = jnp.linalg.norm(cam_pred - cam_gt, axis=-1)  # [B, N]
 
     # reprojection error with min-depth clamp (`loss/coord.py:41-57`)
     grid = pixel_grid(H, W, config.subsample, dtype=pred.dtype).reshape(N, 2)
-    proj = jnp.einsum("ij,bnj->bni", cam_mat, cam_pred)
+    proj = jnp.einsum("ij,bnj->bni", cam_mat, cam_pred, precision=hp)
     z = jnp.maximum(proj[..., 2:3], config.min_depth)
     repro = jnp.maximum(jnp.linalg.norm(proj[..., 0:2] / z - grid, axis=-1), 1e-7)
 

@@ -19,11 +19,12 @@ class RansacConfig(NamedTuple):
     inlier_alpha: float = 100.0  # soft inlier count scale
     max_pixel_error: float = 100.0  # reprojection clamp (maxReproj)
     subsample: int = 8  # prediction grid stride
-    # static retry rounds per hypothesis: 8 matches 16 on the noisy GT-oracle
-    # benchmark (median 0.38 vs 0.42 m / 1.0 vs 0.9 deg, within RANSAC
-    # stochasticity) while halving P3P sampling cost — solver 906 -> 1379
-    # img/s at B=32 on v5e; 4 degrades rotation (1.5 deg). BENCH_NOTES.md r2.
-    sample_rounds: int = 8
+    # static retry rounds per hypothesis. Re-tuned at full-f32 solver
+    # precision (the earlier 8-vs-16 tie was measured under the TPU
+    # default-precision bug): 16 scores median 0.185 m vs 8's 0.192 on the
+    # plugin-parity oracle (plugin: 0.176 — 1.05x vs 1.09x) for ~8% solver
+    # cost, negligible fused (<1%); 4 degrades to 0.226. BENCH_NOTES.md r2.
+    sample_rounds: int = 16
     refine_steps: int = 8  # outer refine iterations (inlier recompute)
     gn_iters: int = 3  # Gauss-Newton steps per refine iteration
     gn_damping: float = 1e-4  # Marquardt damping (scales diag(J^T J))

@@ -83,6 +83,7 @@ def build_train_loader(
     real_only: bool = False,
     datasets_dir: str = "./datasets",
     image_height: int = 480,
+    shard=None,
 ):
     """(dataset, loader, mean) — `config_dataloader` parity."""
     roots = resolve_train_roots(
@@ -104,9 +105,11 @@ def build_train_loader(
     mean = get_label_mean(scene, task, dataset=mean_ds)
     # Multi-host: each process loads its interleaved 1/process_count slice
     # (identical shuffle seed across processes => disjoint coverage).
-    from ..parallel import local_data_shard
+    if shard is None:
+        from ..parallel import local_data_shard
 
-    loader = Loader(dataset, batch_size=batch_size, shuffle=True, shard=local_data_shard())
+        shard = local_data_shard()
+    loader = Loader(dataset, batch_size=batch_size, shuffle=True, shard=shard)
     logging.info("This training uses {:d} data points. {:d} iterations per epoch.".format(
         len(dataset), len(dataset)))
     return dataset, loader, mean

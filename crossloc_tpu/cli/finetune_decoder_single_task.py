@@ -68,7 +68,11 @@ def main(argv=None):
         assert not opt.unfreeze_coord_encoder
         num_mlr = len(encoder_paths) - 1  # coord weight only initializes the decoder
 
-    output_dir, ckpt_output_dir = config_log(opt, get_output_path(opt))
+    from .train_single_task import _process_topology
+
+    output_dir, ckpt_output_dir = config_log(
+        opt, get_output_path(opt), file_logging=_process_topology()[0] == 0
+    )
 
     from ..data import get_label_mean
 

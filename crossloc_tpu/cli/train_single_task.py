@@ -96,15 +96,33 @@ def select_labels(batch: dict, task: str):
     return batch[task]
 
 
+def _process_topology():
+    """(process_index, process_count) — separated so tests can exercise the
+    multi-host wiring single-process by monkeypatching."""
+    return jax.process_index(), jax.process_count()
+
+
 def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None):
     """The training loop shared by train/finetune entry points."""
     common.select_device_from_env()
     nodata_value = get_nodata_value(opt.scene)
 
+    # Multi-host: opt.batch_size is the GLOBAL batch; each process loads its
+    # 1/world slice and the global array is assembled over a DCN-aware mesh
+    # (the reference is single-GPU, SURVEY.md §2.3). Only process 0 writes
+    # snapshots/logs/FLAG files.
+    rank, world = _process_topology()
+    is_main = rank == 0
+    if world > 1 and opt.batch_size % world != 0:
+        raise ValueError(
+            f"--batch_size {opt.batch_size} must be divisible by the "
+            f"process count {world} (it is the global batch)")
+    local_batch = opt.batch_size // world if world > 1 else opt.batch_size
+
     trainset, loader, mean = common.build_train_loader(
         opt.scene, opt.task, opt.grayscale, opt.real_data_domain, opt.real_data_chunk,
-        opt.sim_data_chunk, opt.fullsize, opt.batch_size, opt.real_only, opt.datasets_dir,
-        opt.image_height,
+        opt.sim_data_chunk, opt.fullsize, local_batch, opt.real_only, opt.datasets_dir,
+        opt.image_height, shard=(rank, world),
     )
     if len(loader) == 0:
         raise ValueError(
@@ -152,7 +170,21 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
     # data parallelism: batch sharded over the "data" mesh axis; XLA emits
     # the gradient all-reduce (the reference is single-GPU, SURVEY.md 2.3)
     mesh = None
-    if getattr(opt, "num_devices", 1) > 1:
+    global_feed = False
+    if world > 1:
+        from .. import parallel
+
+        # global DP mesh over every process's devices: "data" spans DCN,
+        # gradients all-reduce once per step; batches are assembled from each
+        # host's local slice via make_array_from_process_local_data
+        mesh = parallel.make_global_mesh(data=jax.device_count(), spatial=1)
+        global_feed = True
+        state = parallel.replicate(mesh, state)
+        logging.info(
+            "Multi-host data-parallel training: %d processes x %d local devices "
+            "(global batch %d, local %d)",
+            world, jax.local_device_count(), opt.batch_size, local_batch)
+    elif getattr(opt, "num_devices", 1) > 1:
         from .. import parallel
 
         devices = jax.devices()[: opt.num_devices]
@@ -180,6 +212,8 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
             return arrays
         from .. import parallel
 
+        if global_feed:
+            return parallel.global_batch_from_local(mesh, arrays)
         return parallel.shard_batch(mesh, arrays)
 
     # resume bookkeeping (`train_single_task.py:220-233`)
@@ -212,7 +246,9 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
             loss = float(metrics["loss"])
             valid_rate = float(metrics["valid_rate"])
 
-            batch_size = batch["image"].shape[0]
+            # iteration counts GLOBAL samples (the local batch times the
+            # process count in a multi-host run)
+            batch_size = batch["image"].shape[0] * (world if global_feed else 1)
             time_avg = (time.time() - start_time) / batch_size
             iteration += batch_size
             logging.info(
@@ -221,26 +257,30 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
             )
 
             if iteration > save_counter:
-                logging.info("Saving snapshot of the network to %s." % model_path)
-                compat.save_net(model_path, jax.device_get(state.params), model)
+                if is_main:
+                    logging.info("Saving snapshot of the network to %s." % model_path)
+                    compat.save_net(model_path, jax.device_get(state.params), model)
                 save_counter = iteration + len(trainset)
                 epoch_de_facto += 1
 
             if iteration > last_ckpt_iteration + save_period * len(trainset) or last_ckpt_iteration == 0:
-                compat.save_net(
-                    os.path.join(ckpt_output_dir, "ckpt_iter_{:07d}.net".format(iteration)),
-                    jax.device_get(state.params),
-                    model,
-                )
+                if is_main:
+                    compat.save_net(
+                        os.path.join(ckpt_output_dir, "ckpt_iter_{:07d}.net".format(iteration)),
+                        jax.device_get(state.params),
+                        model,
+                    )
                 last_ckpt_iteration = iteration
 
-        logging.info("Saving snapshot of the network to %s." % model_path)
-        compat.save_net(model_path, jax.device_get(state.params), model)
+        if is_main:
+            logging.info("Saving snapshot of the network to %s." % model_path)
+            compat.save_net(model_path, jax.device_get(state.params), model)
 
     logging.info("Done without errors.")
-    for d in (output_dir, ckpt_output_dir):
-        with open(os.path.join(d, "FLAG_training_done.nodata"), "w") as f:
-            f.write("")
+    if is_main:
+        for d in (output_dir, ckpt_output_dir):
+            with open(os.path.join(d, "FLAG_training_done.nodata"), "w") as f:
+                f.write("")
     return state
 
 
@@ -251,7 +291,9 @@ def main(argv=None):
     from ..parallel import initialize_distributed
 
     initialize_distributed()
-    output_dir, ckpt_output_dir = config_log(opt, get_output_path(opt))
+    output_dir, ckpt_output_dir = config_log(
+        opt, get_output_path(opt), file_logging=_process_topology()[0] == 0
+    )
     run_training(opt, output_dir, ckpt_output_dir)
 
 

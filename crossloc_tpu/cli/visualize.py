@@ -176,9 +176,13 @@ def load_pose_errors(paths):
 
     for p in paths:
         if os.path.isdir(p):
+            # One source per directory: *_pose_errors.npy is authoritative;
+            # --save_pred npz dumps are a fallback only when no npy exists
+            # (an eval dir holding both artifacts for the same run would
+            # otherwise double-count every frame and shift the CDF medians).
             hits = sorted(
                 glob.glob(os.path.join(p, "**", "*_pose_errors.npy"), recursive=True)
-            ) + sorted(glob.glob(os.path.join(p, "**", "*.npz"), recursive=True))
+            ) or sorted(glob.glob(os.path.join(p, "**", "*.npz"), recursive=True))
             for h in hits:
                 _consume(h)
         else:

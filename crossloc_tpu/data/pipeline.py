@@ -70,8 +70,14 @@ class Loader:
         self.shard = (rank, world)
 
     def _local_size(self) -> int:
-        rank, world = self.shard
-        return len(range(rank, len(self.dataset), world))
+        # The MINIMUM shard size across ranks, not this rank's own size:
+        # interleaved shards differ by one element, and if ranks straddling a
+        # batch_size boundary disagreed on batches-per-epoch, a real
+        # multi-host run would deadlock in the first per-step collective of
+        # the rank that ran out of batches. All ranks therefore agree on
+        # len(dataset) // world and the longer shards drop their extra item.
+        _, world = self.shard
+        return len(self.dataset) // world
 
     def __len__(self) -> int:
         n = self._local_size()

@@ -85,11 +85,23 @@ def initialize_distributed(
         v = _env("CROSSLOC_PROCESS_ID", "JAX_PROCESS_ID")
         process_id = int(v) if v else None
 
-    if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None and process_id is None:
         # Not configured. (On Cloud TPU pods jax.distributed.initialize()
         # would auto-discover, but implicit multi-host init from a plain
         # training command is surprising — require explicit env.)
         return False
+    missing = [name for name, val in (
+        ("coordinator (CROSSLOC_COORDINATOR / JAX_COORDINATOR_ADDRESS)", coordinator_address),
+        ("process count (CROSSLOC_NUM_PROCESSES / JAX_NUM_PROCESSES)", num_processes),
+        ("process id (CROSSLOC_PROCESS_ID / JAX_PROCESS_ID)", process_id),
+    ) if val is None]
+    if missing:
+        # A partial configuration would reach jax.distributed.initialize with
+        # incomplete arguments and hang (or die opaquely) instead of telling
+        # the user what is unset.
+        raise ValueError(
+            "incomplete multi-host configuration: set all of coordinator/"
+            "num_processes/process_id together; missing: " + "; ".join(missing))
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -185,11 +185,13 @@ def _git_sha() -> str:
         return "unknown"
 
 
-def config_log(opt, output_dirname: str) -> Tuple[str, str]:
+def config_log(opt, output_dirname: str, file_logging: bool = True) -> Tuple[str, str]:
     """Set up file+stdout logging; returns (output_dir, ckpt_output_dir).
 
     Mutates `opt.network_in` / `opt.auto_resume` / `opt.epoch_plus` exactly
-    like the reference (`utils/io.py:211-256`).
+    like the reference (`utils/io.py:211-256`). `file_logging=False` keeps
+    stdout-only logging (multi-host: only process 0 may write `output.log` —
+    the log is the resume/metrics store, and concurrent writers corrupt it).
     """
     output_dir, ckpt_output_dir, network_to_load, flag_ar, flag_ep = config_directory(
         output_dirname, opt.ckpt_dir, opt.auto_resume, opt.epoch_plus, opt.network_in
@@ -200,7 +202,7 @@ def config_log(opt, output_dirname: str) -> Tuple[str, str]:
     opt.epoch_plus = flag_ep
 
     log_file = os.path.join(output_dir, "output.log")
-    if opt.epoch_plus:
+    if opt.epoch_plus and file_logging:
         shutil.copy2(os.path.join(os.path.dirname(network_to_load), "output.log"), log_file)
 
     # reset handlers so repeated in-process calls (tests) behave
@@ -208,7 +210,9 @@ def config_log(opt, output_dirname: str) -> Tuple[str, str]:
     for h in list(root.handlers):
         root.removeHandler(h)
     mode = "a" if (opt.auto_resume or opt.epoch_plus) else "w"
-    handlers = [logging.StreamHandler(sys.stdout), logging.FileHandler(log_file, mode=mode)]
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if file_logging:
+        handlers.append(logging.FileHandler(log_file, mode=mode))
     logging.basicConfig(
         level=logging.INFO,
         handlers=handlers,

@@ -269,6 +269,54 @@ class TestMultiDeviceCLI:
         assert "Data-parallel training over 4 devices" in log
 
 
+class TestMultiHostCLI:
+    """Multi-host wiring exercised single-process by monkeypatching the
+    process topology (the real DCN transport needs >1 host; everything else
+    — global mesh, per-process batch split, write gating — runs here)."""
+
+    @pytest.fixture(scope="class")
+    def big_workspace(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ws_mh")
+        data.write_fake_dataset(
+            str(root / "datasets" / "urbanscape" / "train_sim"),
+            n=32, img_h=IMG_H, img_w=IMG_W, focal=FOCAL, seed=9)
+        return root
+
+    def test_batch_size_must_divide_by_process_count(self, big_workspace, monkeypatch):
+        monkeypatch.chdir(big_workspace)
+        monkeypatch.setattr(train_cli, "_process_topology", lambda: (0, 3))
+        with pytest.raises(ValueError, match="divisible by the"):
+            train_cli.main(common_train_args(big_workspace, "coord", ["--batch_size", "4"]))
+
+    def test_rank0_trains_globally_and_writes(self, big_workspace, monkeypatch):
+        monkeypatch.chdir(big_workspace)
+        monkeypatch.setattr(train_cli, "_process_topology", lambda: (0, 2))
+        train_cli.main(common_train_args(big_workspace, "coord", [
+            "--session", "mh", "--batch_size", "16",
+        ]))
+        out = (big_workspace / "output" /
+               "urbanscape-coord-smh-no_unc-e1-lr0.0002-sim_only-sc1.00-tiny")
+        assert (out / "FLAG_training_done.nodata").exists()
+        log = (out / "output.log").read_text()
+        assert "Multi-host data-parallel training: 2 processes" in log
+        # iteration counts GLOBAL samples: local batch 8 x world 2 = 16/step,
+        # min-shard 16 items -> 2 steps -> final iteration 32
+        assert re.search(r"Iteration:\s+32, Epoch:", log)
+
+    def test_rank1_writes_no_artifacts(self, big_workspace, monkeypatch):
+        monkeypatch.chdir(big_workspace)
+        monkeypatch.setattr(train_cli, "_process_topology", lambda: (1, 2))
+        train_cli.main(common_train_args(big_workspace, "coord", [
+            "--session", "mh1", "--batch_size", "16",
+        ]))
+        out = (big_workspace / "output" /
+               "urbanscape-coord-smh1-no_unc-e1-lr0.0002-sim_only-sc1.00-tiny")
+        # non-main process: no snapshot, no log file, no FLAG
+        assert not (out / "model.net").exists()
+        assert not (out / "output.log").exists()
+        assert not (out / "FLAG_training_done.nodata").exists()
+
+
 class TestGrayscaleCLI:
     def test_grayscale_training(self, workspace, monkeypatch):
         monkeypatch.chdir(workspace)

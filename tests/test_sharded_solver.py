@@ -17,7 +17,11 @@ class TestHypSharded:
     def test_recovers_pose_across_shards(self, rng):
         mesh = parallel.make_mesh(jax.devices(), data=2, spatial=4)
         coords, gt = synth_scene(rng, B=2)
-        cfg = ransac.RansacConfig(hypotheses=32, sample_rounds=4)
+        # tiny refine budget: exact coords converge in 2 outer steps, and the
+        # full default unrolled refine loop under shard_map took ~10 min of
+        # XLA *CPU* compile — a correctness test nobody runs is dead weight
+        cfg = ransac.RansacConfig(hypotheses=32, sample_rounds=4,
+                                  refine_steps=2, gn_iters=2, polish_iters=1)
         c2w = solve_batch_hypsharded(
             coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(0), mesh, "spatial", cfg
         )

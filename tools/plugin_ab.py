@@ -1,0 +1,256 @@
+"""Powered A/B of this framework's solver vs the ACTUAL reference C++ plugin.
+
+Regenerates the PARITY.md fidelity table from one scripted run: N frames x
+S seeds of the noisy GT-oracle scene distribution through both solvers on
+IDENTICAL inputs, pooled medians with bootstrap CIs, plus a per-frame
+diagnostic that attributes the residual error to hypothesis SELECTION vs
+REFINEMENT (oracle-selection: refine every hypothesis, score each by true
+pose error).
+
+Usage:
+  python tools/plugin_ab.py                       # 120 frames x 5 seeds, CPU
+  python tools/plugin_ab.py --platform tpu        # ours on the real chip
+  python tools/plugin_ab.py --diagnose            # selection/refinement split
+  python tools/plugin_ab.py --frames 24 --seeds 3 # quick look
+
+The scene distribution matches tests/test_reference_plugin_parity.py:
+480x720 frames, focal 500, 60x90 prediction grid, 1 m coordinate noise,
+20% gross outliers, scene depth 30-300 m — reference eval settings
+(64 hypotheses, tau=10 px, `test_single_task.py:76-89`).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# NOTE: a sitecustomize hook pre-imports jax in this environment; the
+# platform is still switchable via jax.config until first device use
+# (CLAUDE.md), which main() does before importing crossloc_tpu.
+import jax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=120, help="frames per seed")
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                   help="where OUR solver runs (the plugin is always CPU)")
+    p.add_argument("--diagnose", action="store_true",
+                   help="oracle-selection split: refine ALL hypotheses, "
+                        "attribute residual to selection vs refinement")
+    p.add_argument("--skip-plugin", action="store_true",
+                   help="only run our solver (reuse plugin numbers elsewhere)")
+    p.add_argument("--noise", type=float, default=1.0)
+    p.add_argument("--outliers", type=float, default=0.2)
+    p.add_argument("--json", type=str, default=None, help="dump results to file")
+    p.add_argument("--cfg", type=str, default="{}",
+                   help='RansacConfig overrides as JSON, e.g. \'{"polish_iters":0}\'')
+    return p.parse_args(argv)
+
+
+IMG_H, IMG_W, FOCAL, HS, WS = 480, 720, 500.0, 60, 90
+
+
+def make_frames(geo, rng, n, noise, outlier):
+    """Identical generator to test_reference_plugin_parity._frames."""
+    import jax.numpy as jnp
+
+    K = np.asarray(geo.intrinsics(FOCAL, IMG_W, IMG_H))
+    grid = np.asarray(geo.pixel_grid(HS, WS, 8)).reshape(-1, 2)
+    N = grid.shape[0]
+    coords, gts = [], []
+    for _ in range(n):
+        R = np.asarray(geo.rodrigues(jnp.asarray(rng.normal(size=3) * 0.6)))
+        t = rng.normal(size=3) * 20 + np.array([0, 0, 100.0])
+        depth = rng.uniform(30.0, 300.0, size=N)
+        cam = np.asarray(geo.backproject(jnp.asarray(grid), jnp.asarray(depth), jnp.asarray(K)))
+        world = cam @ R.T + t + rng.normal(size=(N, 3)) * noise
+        sel = rng.choice(N, int(N * outlier), replace=False)
+        world[sel] += rng.uniform(-200, 200, size=(len(sel), 3))
+        gt = np.eye(4)
+        gt[:3, :3] = R
+        gt[:3, 3] = t
+        coords.append(world.reshape(HS, WS, 3).astype(np.float32))
+        gts.append(gt)
+    return np.stack(coords), np.stack(gts)
+
+
+def pose_errors(geo, est4, gt4):
+    """[B] translation (m) and rotation (deg) errors."""
+    import jax.numpy as jnp
+
+    t = np.linalg.norm(est4[:, :3, 3] - gt4[:, :3, 3], axis=-1)
+    r = np.asarray(
+        jax.vmap(geo.rotation_angle_deg)(jnp.asarray(est4[:, :3, :3]), jnp.asarray(gt4[:, :3, :3]))
+    )
+    return t, r
+
+
+def run_plugin(dsacstar_mod, coords, gts, geo):
+    import torch
+
+    t_errs, r_errs, est = [], [], []
+    for i in range(coords.shape[0]):
+        sc = torch.from_numpy(coords[i].transpose(2, 0, 1)[None])
+        out_pose = torch.zeros((4, 4))
+        dsacstar_mod.forward_rgb(
+            sc, out_pose, 64, 10.0, FOCAL, IMG_W / 2.0, IMG_H / 2.0, 100.0, 100.0, 8
+        )
+        est.append(out_pose.numpy())
+    est = np.stack(est)
+    return pose_errors(geo, est, gts)
+
+
+def bootstrap_median_ci(x, n_boot=10000, seed=0, q=(2.5, 97.5)):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(x), size=(n_boot, len(x)))
+    meds = np.median(np.asarray(x)[idx], axis=1)
+    lo, hi = np.percentile(meds, q)
+    return float(np.median(x)), float(lo), float(hi)
+
+
+def fmt_ci(trip):
+    m, lo, hi = trip
+    return f"{m:.3f} [{lo:.3f}, {hi:.3f}]"
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from crossloc_tpu import geometry as geo
+    from crossloc_tpu import ransac
+
+    cfg = ransac.RansacConfig(**json.loads(args.cfg))
+    print(f"# plugin A/B: {args.frames} frames x {args.seeds} seeds, "
+          f"noise={args.noise} outliers={args.outliers}, ours on {args.platform}")
+    print(f"# cfg: {cfg}")
+
+    dsacstar_mod = None
+    if not args.skip_plugin:
+        from crossloc_tpu.compat.plugin_oracle import load_plugin
+
+        dsacstar_mod = load_plugin()
+
+    solve = jax.jit(
+        lambda c, k: ransac.solve_batch(c, FOCAL, (IMG_H, IMG_W), k, cfg).cam_to_world
+    )
+
+    all_ref_t, all_ref_r, all_our_t, all_our_r = [], [], [], []
+    diag_rows = []
+    for s in range(args.seeds):
+        seed = 11 + 97 * s
+        rng = np.random.default_rng(seed)
+        coords, gts = make_frames(geo, rng, args.frames, args.noise, args.outliers)
+
+        if dsacstar_mod is not None:
+            t0 = time.time()
+            rt, rr = run_plugin(dsacstar_mod, coords, gts, geo)
+            all_ref_t.append(rt)
+            all_ref_r.append(rr)
+            plugin_s = time.time() - t0
+        else:
+            plugin_s = float("nan")
+
+        t0 = time.time()
+        est = np.asarray(solve(jnp.asarray(coords), jax.random.PRNGKey(seed)))
+        ot, orr = pose_errors(geo, est, gts)
+        all_our_t.append(ot)
+        all_our_r.append(orr)
+        print(f"seed {seed}: ours median t={np.median(ot):.3f} r={np.median(orr):.3f}"
+              + (f" | plugin t={np.median(rt):.3f} r={np.median(rr):.3f}"
+                 f" ({plugin_s:.0f}s plugin, {time.time()-t0:.0f}s ours)"
+                 if dsacstar_mod is not None else ""))
+
+        if args.diagnose:
+            diag_rows.append(diagnose(ransac, geo, jnp, coords, gts, cfg, seed, ot))
+
+    our_t = np.concatenate(all_our_t)
+    our_r = np.concatenate(all_our_r)
+    out = {
+        "frames": args.frames, "seeds": args.seeds, "platform": args.platform,
+        "n_pooled": int(our_t.size),
+        "ours": {"t": bootstrap_median_ci(our_t), "r": bootstrap_median_ci(our_r)},
+    }
+    print(f"\n== pooled over {our_t.size} frames ==")
+    print(f"ours   median t: {fmt_ci(out['ours']['t'])} m   "
+          f"r: {fmt_ci(out['ours']['r'])} deg")
+    if all_ref_t:
+        ref_t = np.concatenate(all_ref_t)
+        ref_r = np.concatenate(all_ref_r)
+        out["plugin"] = {"t": bootstrap_median_ci(ref_t), "r": bootstrap_median_ci(ref_r)}
+        out["ratio_t"] = float(np.median(our_t) / np.median(ref_t))
+        out["ratio_r"] = float(np.median(our_r) / max(np.median(ref_r), 1e-9))
+        print(f"plugin median t: {fmt_ci(out['plugin']['t'])} m   "
+              f"r: {fmt_ci(out['plugin']['r'])} deg")
+        print(f"ratio ours/plugin: t {out['ratio_t']:.3f}x  r {out['ratio_r']:.3f}x")
+
+    if diag_rows:
+        d = {k: float(np.mean([row[k] for row in diag_rows])) for k in diag_rows[0]}
+        out["diagnose"] = d
+        print("\n== diagnosis (averaged over seeds) ==")
+        print(f"median t, our selection + our refinement : {d['chosen']:.3f} m")
+        print(f"median t, ORACLE selection (min true err): {d['oracle']:.3f} m")
+        print(f"median pre-refinement err of chosen hyp  : {d['chosen_pre']:.3f} m")
+        print(f"frames where oracle beats chosen by >20% : {d['sel_loss_frac']*100:.0f}%")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"\nwrote {args.json}")
+    return out
+
+
+def diagnose(ransac, geo, jnp, coords, gts, cfg, seed, chosen_t):
+    """Refine EVERY hypothesis to completion; oracle-select by true pose
+    error. If oracle-selection ~ chosen-selection, selection is not the
+    bottleneck; if oracle << chosen, the residual is selection-driven."""
+    import jax
+
+    from crossloc_tpu.ransac import solver as S
+
+    B = coords.shape[0]
+    grid = geo.pixel_grid(HS, WS, 8).reshape(-1, 2)
+    cam = geo.intrinsics(jnp.float32(FOCAL), IMG_W, IMG_H)
+
+    @jax.jit
+    def all_refined(c, key):
+        with jax.default_matmul_precision("float32"):
+            pose6, valid = S.sample_hypotheses(c, grid, cam, key, cfg)
+            refined = jax.vmap(
+                lambda p: S.refine_pose(p, c, grid, cam, cfg)
+            )(pose6)  # [H, 6]
+            c2w = jax.vmap(lambda p: geo.invert_se3(geo.pose_vec_to_w2c(p)))(refined)
+            pre_c2w = jax.vmap(lambda p: geo.invert_se3(geo.pose_vec_to_w2c(p)))(pose6)
+        return c2w, pre_c2w, valid
+
+    oracle_t, chosen_pre_t = [], []
+    for i in range(B):
+        k_img = jax.random.split(jax.random.PRNGKey(seed), B)[i]
+        k_sample, k_draw = jax.random.split(k_img)
+        c2w, pre_c2w, valid = all_refined(jnp.asarray(coords[i].reshape(-1, 3)), k_sample)
+        t_all = np.linalg.norm(np.asarray(c2w)[:, :3, 3] - gts[i][:3, 3], axis=-1)
+        t_all = np.where(np.asarray(valid), t_all, np.inf)
+        oracle_t.append(t_all.min())
+        pre_all = np.linalg.norm(np.asarray(pre_c2w)[:, :3, 3] - gts[i][:3, 3], axis=-1)
+        chosen_pre_t.append(np.where(np.asarray(valid), pre_all, np.inf).min())
+    oracle_t = np.asarray(oracle_t)
+    return {
+        "chosen": float(np.median(chosen_t)),
+        "oracle": float(np.median(oracle_t)),
+        "chosen_pre": float(np.median(chosen_pre_t)),
+        "sel_loss_frac": float(np.mean(chosen_t > oracle_t * 1.2 + 0.02)),
+    }
+
+
+if __name__ == "__main__":
+    main()

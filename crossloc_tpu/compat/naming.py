@@ -27,14 +27,22 @@ def train_output_name(
     tiny: bool = False,
     network_in: Optional[str] = None,
     debug: bool = False,
+    e2e: bool = False,
 ) -> str:
-    """`get_output_path` grammar of `train_single_task.py:138-186`."""
+    """`get_output_path` grammar of `train_single_task.py:138-186`.
+
+    `e2e` extends the grammar (framework extension): DSAC end-to-end
+    pose-loss training (`--e2e_pose_loss`) adds an "-e2e" token after the
+    uncertainty token; `read_meta_info`'s substring decoding is unaffected.
+    """
     name = f"{scene}-{task}"
     if session:
         name += "-s" + session
     if grayscale:
         name += "-gray"
     name += "-no_unc" if uncertainty is None else f"-unc-{uncertainty}"
+    if e2e:
+        name += "-e2e"
     if fullsize:
         name += "-fullsize"
     lr_fmt = "-e{:d}-lr{:.4f}" if learning_rate >= 1e-4 else "-e{:d}-lr{:.6f}"

@@ -56,7 +56,14 @@ class Loader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # Epoch-keyed shuffling (standard distributed-sampler pattern): the
+        # order of epoch E is a pure function of (seed, E), so a resumed run
+        # sees the same data order as an uninterrupted one (exact-resume
+        # contract of the `.state` checkpoints) and all multi-host ranks
+        # agree without coordination. set_epoch(E) before iterating; __iter__
+        # auto-increments otherwise.
+        self._epoch = 0
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
@@ -83,10 +90,13 @@ class Loader:
         n = self._local_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
     def _index_batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            np.random.default_rng([self.seed, self._epoch]).shuffle(idx)
         rank, world = self.shard
         idx = idx[rank::world]
         nb = len(self)
@@ -95,6 +105,7 @@ class Loader:
 
     def __iter__(self) -> Iterator[dict]:
         batches = list(self._index_batches())
+        self._epoch += 1  # next epoch reshuffles (callers may set_epoch)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -136,7 +136,14 @@ def transform_points(T, pts):
 def rotation_angle_deg(R1, R2):
     """Relative rotation angle in degrees between two rotation matrices.
 
-    Matches `utils/evaluation.py:121-132`: angle of R_est^T @ R_gt.
+    Matches `utils/evaluation.py:121-132`: angle of R_est^T @ R_gt — the
+    reference extracts it via f64 `cv2.Rodrigues`, whose axis-angle norm is
+    sine-based and therefore precise for small angles. The naive
+    arccos((trace-1)/2) in f32 has a ~0.02-0.04 deg quantization floor near
+    zero (arccos resolution collapses at cos ~ 1), which round-2 metrics hit:
+    every sub-0.05 deg error measured as exactly 0.0396 or 0. The
+    atan2(|skew|/2, (trace-1)/2) form recovers Rodrigues-class precision
+    (~1e-5 deg) from the same f32 matrices.
 
     The 3x3 product runs at full f32 precision: TPU's default matmul
     precision is bf16-class, which turns small relative rotations into
@@ -145,8 +152,12 @@ def rotation_angle_deg(R1, R2):
     Rrel = jnp.matmul(
         jnp.swapaxes(R1, -1, -2), R2, precision=jax.lax.Precision.HIGHEST)
     trace = Rrel[..., 0, 0] + Rrel[..., 1, 1] + Rrel[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    return jnp.degrees(jnp.arccos(cos_t))
+    cos_t = (trace - 1.0) * 0.5
+    sx = Rrel[..., 2, 1] - Rrel[..., 1, 2]
+    sy = Rrel[..., 0, 2] - Rrel[..., 2, 0]
+    sz = Rrel[..., 1, 0] - Rrel[..., 0, 1]
+    sin_t = 0.5 * jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    return jnp.degrees(jnp.arctan2(sin_t, cos_t))
 
 
 def orthonormalize(R, iters: int = 2):

@@ -167,6 +167,148 @@ class MLRSkip(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Declare conv kernel/bias params without running nn.Conv — the
+    space-to-depth stem path consumes them through remapped kernels while
+    keeping the param tree (and so the `.net` checkpoint grammar) identical
+    to the standard ConvGN stack."""
+
+    features: int
+    kernel: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _GNParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return s, b
+
+
+def _s2d(x):
+    """space-to-depth(2), phase-minor channel order: c_out = c * 4 + phase."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, h, w, C, pi, pj
+    return x.reshape(B, H // 2, W // 2, C * 4)
+
+
+def _remap_stem1_kernel(Wk, C_in, C_out):
+    """[3,3,C_in,C_out] -> [3,3,4*C_in,4*C_out] s2d(2) kernel, both sides
+    phase-minor (in: cin*4+phase_in, out: c*4+phase_out). Output phase
+    (di,dj) of s2d cell (i,j) is the original conv at (2i+di, 2j+dj); tap
+    (kh,kw) lands in s2d cell (i+a, j+b) phase (pi,pj) with
+    (a,pi)=divmod(di-1+kh, 2) etc. Pure scatter — exact, differentiable."""
+    K = jnp.zeros((3, 3, 4 * C_in, 4 * C_out), Wk.dtype)
+    for di in range(2):
+        for dj in range(2):
+            for kh in range(3):
+                for kw in range(3):
+                    a, pi = divmod(di - 1 + kh, 2)
+                    b, pj = divmod(dj - 1 + kw, 2)
+                    pin = pi * 2 + pj
+                    pout = di * 2 + dj
+                    K = K.at[a + 1, b + 1, pin::4, pout::4].add(Wk[kh, kw])
+    return K
+
+
+def _remap_stem2_kernel(Wk, C_in, C_out):
+    """[3,3,C_in,C_out] stride-2 conv -> [2,2,4*C_in,C_out] on the s2d grid
+    (stride-2 outputs are exactly phase (0,0) of each s2d cell)."""
+    K = jnp.zeros((2, 2, 4 * C_in, C_out), Wk.dtype)
+    for kh in range(3):
+        for kw in range(3):
+            a, pi = divmod(-1 + kh, 2)
+            b, pj = divmod(-1 + kw, 2)
+            pin = pi * 2 + pj
+            K = K.at[a + 1, b + 1, pin::4, :].add(Wk[kh, kw])
+    return K
+
+
+class StemParams(nn.Module):
+    """Param holder shaped exactly like a ConvGN stem ("conv" kernel/bias +
+    "norm" scale/bias). Instantiated with name="stem1"/"stem2" from the
+    encoder, it reproduces the standard param paths while the s2d math
+    consumes the tensors directly."""
+
+    features: int
+    in_features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k, b = _ConvParams(self.features, self.kernel, self.in_features, name="conv")()
+        s, sb = _GNParams(self.features, name="norm")()
+        return k, b, s, sb
+
+
+def _gn_grouped(x, groups, fast_variance, eps=GN_EPS):
+    """flax-GroupNorm-equivalent statistics (no affine) over the last axis
+    split into `groups`: reduction over (H, W, channels-in-group)."""
+    B, H, W, C = x.shape
+    xg = x.reshape(B, H, W, groups, C // groups)
+    if fast_variance:
+        mu = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xg), axis=(1, 2, 4), keepdims=True) - jnp.square(mu)
+        var = jnp.maximum(var, 0.0)
+    else:
+        mu = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xg - mu), axis=(1, 2, 4), keepdims=True)
+    y = (xg - mu) * jax.lax.rsqrt(var + eps)
+    return y.reshape(B, H, W, C)
+
+
+def stem_s2d_apply(x, p1, p2, num_groups=32, dtype=jnp.float32):
+    """stems 1+2 evaluated in space-to-depth(2) layout — MXU-dense exact
+    re-expression of ConvGN(f1,k3,s1) + ConvGN(f2,k3,s2) on full-res RGB
+    (C_in=3 runs at ~2% MXU occupancy in the standard layout; measured
+    -4.5 ms at B=64/480x720 on v5e, BENCH_NOTES.md round 3). p1/p2 are
+    StemParams outputs; the param tree and values are IDENTICAL to the
+    standard path, only the computation layout differs (exact to float
+    reassociation).
+
+    GroupNorm grouping: the s2d channel order is c-major/phase-minor, so
+    original group g's channels+phases form one contiguous block of
+    4*group_size channels — grouped statistics in s2d layout equal the
+    original ones exactly.
+    """
+    k1, b1, g1, gb1 = p1
+    k2, b2, g2, gb2 = p2
+    C_in, f1 = k1.shape[2], k1.shape[3]
+    f2 = k2.shape[3]
+
+    xs = _s2d(x.astype(dtype))  # [B, H/2, W/2, 4*C_in]
+    K1 = _remap_stem1_kernel(k1, C_in, f1).astype(dtype)
+    dn = jax.lax.conv_dimension_numbers(xs.shape, K1.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xs, K1, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+    y = y + jnp.repeat(b1, 4).astype(y.dtype)
+
+    groups = min(num_groups, f1)
+    y = _gn_grouped(y.astype(jnp.float32), groups, gn_fast_variance())
+    y = nn.relu(y * jnp.repeat(g1, 4) + jnp.repeat(gb1, 4)).astype(dtype)
+
+    K2 = _remap_stem2_kernel(k2, f1, f2).astype(dtype)
+    dn2 = jax.lax.conv_dimension_numbers(y.shape, K2.shape, ("NHWC", "HWIO", "NHWC"))
+    z = jax.lax.conv_general_dilated(
+        y, K2, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn2)
+    z = z + b2.astype(z.dtype)
+    z = _gn_grouped(z.astype(jnp.float32), min(num_groups, f2), gn_fast_variance())
+    z = nn.relu(z * g2 + gb2)
+    return z.astype(dtype)
+
+
 def pixel_shuffle(x, r: int):
     """NHWC pixel shuffle with torch channel ordering (c major, r1, r2).
 

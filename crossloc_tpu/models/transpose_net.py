@@ -56,13 +56,24 @@ class TransPoseEncoder(nn.Module):
     enc_add_res_block: int = 2
     num_groups: int = 32
     dtype: Dtype = jnp.float32
+    # evaluate stems 1+2 in space-to-depth(2) layout: exact remap of the
+    # same params (tree unchanged), MXU-dense for the C_in=3 full-res conv.
+    # Requires even H/W; see layers.StemS2DPair and BENCH_NOTES.md round 3.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
         mid, wide = _widths(self.tiny)
         g = self.num_groups
-        x = ConvGN(g, 3, 1, g, self.dtype, relu=True, name="stem1")(x)
-        x = ConvGN(64, 3, 2, g, self.dtype, relu=True, name="stem2")(x)
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            from .layers import StemParams, stem_s2d_apply
+
+            p1 = StemParams(g, x.shape[-1], name="stem1")()
+            p2 = StemParams(64, g, name="stem2")()
+            x = stem_s2d_apply(x, p1, p2, num_groups=g, dtype=self.dtype)
+        else:
+            x = ConvGN(g, 3, 1, g, self.dtype, relu=True, name="stem1")(x)
+            x = ConvGN(64, 3, 2, g, self.dtype, relu=True, name="stem2")(x)
         x = ConvGN(128, 3, 2, g, self.dtype, relu=True, name="stem3")(x)
         res = ConvGN(mid, 3, 2, g, self.dtype, relu=True, name="stem4")(x)
 
@@ -167,6 +178,7 @@ class TransPoseNet(nn.Module):
     mean_init: Optional[Sequence[float]] = None
     dtype: Dtype = jnp.float32
     remat: bool = False  # jax.checkpoint the encoder towers (memory <-> FLOPs)
+    stem_s2d: bool = False  # space-to-depth stems (layers.stem_s2d_apply)
 
     @property
     def output_subsample(self) -> int:
@@ -182,13 +194,14 @@ class TransPoseNet(nn.Module):
         enc_cls = nn.remat(TransPoseEncoder) if self.remat else TransPoseEncoder
         if self.num_mlr == 0:
             res = enc_cls(
-                self.tiny, self.enc_add_res_block, g, self.dtype, name="encoder"
+                self.tiny, self.enc_add_res_block, g, self.dtype, self.stem_s2d,
+                name="encoder"
             )(x)
         else:
             acts = []
             for i in range(self.num_mlr):
                 a = enc_cls(
-                    self.tiny, self.enc_add_res_block, g, self.dtype,
+                    self.tiny, self.enc_add_res_block, g, self.dtype, self.stem_s2d,
                     name=f"mlr_encoder_{i + 1}",
                 )(x)
                 if i >= self.num_unfrozen_encoder:
@@ -259,6 +272,7 @@ def build_network(
     mean: Optional[Sequence[float]] = None,
     dtype: Dtype = jnp.float32,
     remat: bool = False,
+    stem_s2d: bool = False,
 ) -> TransPoseNet:
     """Factory matching `config_network` (`utils/learning.py:266-305`):
     enc/dec_add_res_block=2, +1 positive channel iff MLE uncertainty."""
@@ -281,4 +295,5 @@ def build_network(
         mean_init=mean,
         dtype=dtype,
         remat=remat,
+        stem_s2d=stem_s2d,
     )

@@ -35,6 +35,11 @@ class RansacConfig(NamedTuple):
     # "hard" = argmax of the hard inlier count (consensus). Training always
     # samples from the soft distribution (the differentiable DSAC path).
     eval_selection: str = "soft"
+    # unroll the refinement fori_loops: True is fastest on TPU (no loop
+    # overhead, full fusion); False keeps the rolled loop — XLA *CPU*
+    # compile of the unrolled refine graph under shard_map ran for tens of
+    # minutes (tests/test_sharded_solver.py), the rolled one is seconds
+    unroll: bool = True
 
 
 class PoseLossConfig(NamedTuple):

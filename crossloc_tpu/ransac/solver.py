@@ -137,7 +137,7 @@ def _gn_refine(pose6, coords, grid, cam_mat, mask, cfg: RansacConfig):
         t_new = Rd @ p6[3:6] + dt
         return jnp.concatenate([inverse_rodrigues(R_new), t_new])
 
-    return jax.lax.fori_loop(0, cfg.gn_iters, step, pose6, unroll=True)
+    return jax.lax.fori_loop(0, cfg.gn_iters, step, pose6, unroll=cfg.unroll)
 
 
 def refine_pose(pose6, coords, grid, cam_mat, cfg: RansacConfig, steps: Optional[int] = None):
@@ -160,7 +160,7 @@ def refine_pose(pose6, coords, grid, cam_mat, cfg: RansacConfig, steps: Optional
         return pose, best
 
     # reference starts from bestInliers = 4 (the minimal set size)
-    pose6, _ = jax.lax.fori_loop(0, steps, body, (pose6, jnp.asarray(4.0, pose6.dtype)), unroll=True)
+    pose6, _ = jax.lax.fori_loop(0, steps, body, (pose6, jnp.asarray(4.0, pose6.dtype)), unroll=cfg.unroll)
 
     # final polish: the reference's refineHyp runs a *complete* LM solve per
     # accepted step; the fixed-iteration loop above can stop with leftover
@@ -172,7 +172,7 @@ def refine_pose(pose6, coords, grid, cam_mat, cfg: RansacConfig, steps: Optional
         new = _gn_refine(pose, coords, grid, cam_mat, mask, cfg)
         return jnp.where(jnp.all(jnp.isfinite(new)), new, pose)
 
-    pose6 = jax.lax.fori_loop(0, cfg.polish_iters, polish, pose6, unroll=True)
+    pose6 = jax.lax.fori_loop(0, cfg.polish_iters, polish, pose6, unroll=cfg.unroll)
     return pose6
 
 

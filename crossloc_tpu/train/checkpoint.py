@@ -66,11 +66,19 @@ class CheckpointManager:
     """
 
     def __init__(self, directory: str, keep: int = 5, prefix: str = "state",
-                 backend: str = "msgpack"):
+                 backend: str = "msgpack", async_save: bool = True):
         self.directory = directory
         self.keep = keep
         self.prefix = prefix
         self.backend = backend
+        # orbax saves are ASYNC by default: save() enqueues the write and
+        # returns; the training loop overlaps the serialization/IO with the
+        # next steps. Synchronization points: flush() (call at end of
+        # training), restore_latest() (must see the newest step), and the
+        # next save() (orbax serializes internally). Pass async_save=False
+        # for strictly-synchronous saves (e.g. kill-tolerant tests that
+        # SIGKILL right after save returns).
+        self.async_save = async_save
         os.makedirs(directory, exist_ok=True)
         if backend == "orbax":
             import orbax.checkpoint as ocp
@@ -98,18 +106,37 @@ class CheckpointManager:
 
     def save(self, state: TrainState, step: Optional[int] = None) -> str:
         step = int(state.step) if step is None else int(step)
+        # idempotent: the training loop saves beside every .net snapshot and
+        # an epoch boundary can hit two snapshot sites at the same step
+        # (python-side tracking — an async orbax save may not be visible in
+        # latest_step() yet)
+        if getattr(self, "_last_saved_step", None) == step:
+            return self._path(step)
+        if self.backend == "orbax":
+            if self._mgr.latest_step() == step:
+                return os.path.join(os.path.abspath(self.directory), str(step))
+        elif (existing := self.all_steps()) and existing[-1] == step:
+            return self._path(step)
+        self._last_saved_step = step
         if self.backend == "orbax":
             self._mgr.save(step, args=self._ocp.args.StandardSave(
                 jax.device_get(state)))
-            self._mgr.wait_until_finished()
+            if not self.async_save:
+                self._mgr.wait_until_finished()
             return os.path.join(os.path.abspath(self.directory), str(step))
         path = save_train_state(self._path(step), state)
         for old in self.all_steps()[: -self.keep]:
             os.remove(self._path(old))
         return path
 
+    def flush(self) -> None:
+        """Block until any in-flight async save has committed."""
+        if self.backend == "orbax":
+            self._mgr.wait_until_finished()
+
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
         if self.backend == "orbax":
+            self._mgr.wait_until_finished()  # an in-flight save must land first
             step = self._mgr.latest_step()
             if step is None:
                 return None

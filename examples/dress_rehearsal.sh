@@ -1,0 +1,94 @@
+#!/bin/bash
+# One-command dress rehearsal of the FULL CrossLoc experiment matrix through
+# the real bash harness, on a synthesized dataset in the exact reference
+# directory layout (all modalities incl. semantics + eye).
+#
+# Flow (reference workflow, `notes_crossloc_full_steps.md` analog):
+#   synthesize dataset
+#   -> encoder_pretrain      (coord, depth, normal, semantics)
+#   -> validate_encoder_pretrain + select_ckpt      (val_sim sweep, FLAG)
+#   -> encoder_finetune      (coord, pairwise sim-to-real)
+#   -> decoder_finetune_plus_semantics  (4 MLR encoders)
+#   -> validate_decoder_finetune + select_ckpt      (val_drone_real sweep)
+#
+# Tiny config (~15 min CPU): 96x144 images, --tiny nets, 1 epoch each.
+# Usage: bash examples/dress_rehearsal.sh [workdir]   (default: mktemp -d)
+set -euo pipefail
+
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+WS=${1:-$(mktemp -d /tmp/crossloc_rehearsal.XXXX)}
+echo "== dress rehearsal in $WS"
+mkdir -p "$WS" && cd "$WS"
+# PYTHONPATH is REPLACED, not extended: this machine's sitecustomize hook
+# (injected via the ambient PYTHONPATH) pre-imports jax with the TPU backend
+# and ignores JAX_PLATFORMS; a clean PYTHONPATH keeps the rehearsal on CPU
+export PYTHONPATH="$REPO"
+export JAX_PLATFORMS=cpu
+
+# the harness invokes `python3 train_single_task.py` relative to the CWD,
+# exactly like the reference scripts — stage the entry shims into the
+# workspace so outputs land here, not in the repo
+for shim in train_single_task.py finetune_decoder_single_task.py \
+            test_single_task.py visualize.py; do
+  ln -sf "$REPO/$shim" "$WS/$shim"
+done
+
+echo "== 1. synthesize dataset (reference directory contract, all modalities)"
+python3 - <<PY
+from crossloc_tpu import data
+for sec, seed in [("train_sim", 0), ("val_sim", 1),
+                  ("train_drone_real", 2), ("train_drone_sim", 3),
+                  ("val_drone_real", 4)]:
+    data.write_fake_dataset(f"datasets/urbanscape/{sec}", n=4,
+                            img_h=96, img_w=144, focal=120.0, seed=seed)
+print("dataset ready")
+PY
+
+TRAIN_EXTRA="--epochs 1 --batch_size 2 --datasets_dir $WS/datasets --image_height 96"
+VAL_EXTRA="--batch_size 2 --datasets_dir $WS/datasets --image_height 96"
+export EXTRA_ARGS="$TRAIN_EXTRA"
+export CKPT_DIR=$WS/ckpts
+
+echo "== 2. encoder pretraining (4 tasks)"
+for TASK in coord depth normal; do
+  bash "$REPO/script_clean_training/encoder_pretrain.sh" urbanscape $TASK TINY 1.0 in_place 0.0 MLE 0
+done
+bash "$REPO/script_clean_training/encoder_pretrain.sh" urbanscape semantics TINY 1.0 in_place 0.0 NONE 0
+
+echo "== 3. validate pretraining checkpoints on val_sim + select"
+for TASK in coord depth normal; do
+  PT_DIR=$CKPT_DIR/urbanscape-${TASK}-sclean_training-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny
+  MIN_CKPT_ITER=0 CKPT_DIR=$PT_DIR EXTRA_ARGS="$VAL_EXTRA" \
+    bash "$REPO/script_clean_validation/validate_encoder_pretrain.sh" urbanscape $TASK TINY MLE 0
+  (cd "$PT_DIR" && python3 "$REPO/script_clean_validation/select_ckpt.py" --task $TASK)
+  ls "$PT_DIR"/FLAG_SELECTED_ITER_*.nodata >/dev/null
+done
+
+echo "== 4. encoder fine-tuning (coord, pairwise in-place)"
+PRETRAIN_OUT=$WS/output/urbanscape-coord-sclean_training-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny
+ENC_PRETRAINED=$PRETRAIN_OUT/model.net \
+  bash "$REPO/script_clean_training/encoder_finetune.sh" urbanscape coord TINY 0.0 in_place 1.0 MLE 0
+
+echo "== 5. decoder fine-tuning with 4 MLR encoders (+semantics)"
+FT_OUT=$WS/output/urbanscape-coord-sclean_training_ip-unc-MLE-e1-lr0.0001-pairs-ip-rc1.00-tiny-finetune
+ENC_COORD=$FT_OUT/model_resume.net \
+ENC_DEPTH=$WS/output/urbanscape-depth-sclean_training-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny/model.net \
+ENC_NORMAL=$WS/output/urbanscape-normal-sclean_training-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny/model.net \
+ENC_SEMANTICS=$WS/output/urbanscape-semantics-sclean_training-no_unc-fullsize-e1-lr0.0002-sim_only-sc1.00-tiny/model.net \
+  bash "$REPO/script_clean_training/decoder_finetune_plus_semantics.sh" urbanscape coord TINY 1.0 in_place 1.0 MLE 0
+
+echo "== 6. validate decoder checkpoints on val_drone_real + select"
+DEC_DIR=$CKPT_DIR/$(basename "$(ls -d $WS/output/urbanscape-coord-decoder_* | head -1)")
+MIN_CKPT_ITER=0 CKPT_DIR=$DEC_DIR EXTRA_ARGS="$VAL_EXTRA" \
+  bash "$REPO/script_clean_validation/validate_decoder_finetune.sh" urbanscape coord TINY MLE 0
+(cd "$DEC_DIR" && python3 "$REPO/script_clean_validation/select_ckpt.py" --task coord)
+
+echo "== 7. assertions"
+for f in \
+  "$PRETRAIN_OUT/FLAG_training_done.nodata" \
+  "$FT_OUT/FLAG_training_done.nodata" \
+  "$DEC_DIR"/FLAG_SELECTED_ITER_*.nodata \
+  "$DEC_DIR"/results_overall.txt; do
+  ls $f >/dev/null || { echo "MISSING: $f"; exit 1; }
+done
+echo "== dress rehearsal PASSED ($WS)"

@@ -269,6 +269,98 @@ class TestMultiDeviceCLI:
         assert "Data-parallel training over 4 devices" in log
 
 
+class TestE2EPoseLossCLI:
+    """--e2e_pose_loss: DSAC end-to-end training through the real CLI
+    (VERDICT r2 #4). The logged Total loss IS the expected pose loss, so a
+    decrease across the e2e phase = lower expected pose error than at the
+    phase's start."""
+
+    def test_e2e_trains_and_improves(self, workspace, monkeypatch):
+        monkeypatch.chdir(workspace)
+        train_cli.main(common_train_args(workspace, "coord", [
+            "--session", "e2e", "--epochs", "5", "--e2e_pose_loss",
+            "--e2e_warmup_epochs", "2", "--learningrate", "0.001",
+        ]))
+        out = (workspace / "output" /
+               "urbanscape-coord-se2e-no_unc-e2e-e5-lr0.0010-sim_only-sc1.00-tiny")
+        assert (out / "FLAG_training_done.nodata").exists(), \
+            [p.name for p in (workspace / "output").iterdir()]
+        log = (out / "output.log").read_text()
+        losses = [float(m) for m in re.findall(r"Total loss: ([-\d.]+)", log)]
+        assert len(losses) == 10  # 4 imgs / bs 2 -> 2 steps x 5 epochs
+        # e2e phase = epochs 2-4 (steps 4..9); first e2e epoch vs last
+        first_e2e = np.mean(losses[4:6])
+        last_e2e = np.mean(losses[8:10])
+        assert last_e2e < first_e2e, (losses, "expected pose loss did not drop")
+
+        # naming grammar round-trips with the -e2e token
+        scene, gray, task, sections, tiny, fullsize, unc = compat.read_meta_info(out.name)
+        assert (scene, task, tiny, unc) == ("urbanscape", "coord", True, None)
+
+    def test_e2e_requires_coord_task(self, workspace):
+        with pytest.raises(ValueError, match="requires --task coord"):
+            train_cli.main(common_train_args(workspace, "depth", ["--e2e_pose_loss"]))
+
+
+class TestFullStateCheckpointCLI:
+    """--ckpt_backend: exact Adam/step resume through the real CLIs
+    (VERDICT r2 #2). A crashed-and-resumed run must reproduce the
+    uninterrupted run bit-for-bit; the weights-only control must not."""
+
+    def _net_params(self, path):
+        import torch
+
+        state = torch.load(str(path), map_location="cpu", weights_only=False)
+        return {k: np.asarray(v) for k, v in state.items()}
+
+    def test_exact_adam_resume_vs_weights_only(self, workspace, monkeypatch):
+        monkeypatch.chdir(workspace)
+        base = lambda sid, extra: common_train_args(
+            workspace, "coord", ["--session", sid] + extra)
+
+        # A: uninterrupted 2-epoch run (the ground truth trajectory)
+        train_cli.main(base("ckA", ["--epochs", "2", "--ckpt_backend", "msgpack"]))
+        out_a = workspace / "output" / "urbanscape-coord-sckA-no_unc-e2-lr0.0002-sim_only-sc1.00-tiny"
+        assert list(out_a.glob("state_*.state")), "no .state files written"
+
+        # B: 1 epoch, then epoch_plus extension to 2 with full-state restore
+        train_cli.main(base("ckB", ["--epochs", "1", "--ckpt_backend", "msgpack"]))
+        train_cli.main(base("ckB", ["--epochs", "2", "--epoch_plus",
+                                    "--ckpt_backend", "msgpack"]))
+        out_b = workspace / "output" / "urbanscape-coord-sckB-no_unc-e2-lr0.0002-sim_only-sc1.00-tiny"
+        log_b = (out_b / "output.log").read_text()
+        assert "Restored full train state" in log_b
+
+        # C: control — same crash/resume without full-state checkpoints
+        train_cli.main(base("ckC", ["--epochs", "1"]))
+        train_cli.main(base("ckC", ["--epochs", "2", "--epoch_plus"]))
+        out_c = workspace / "output" / "urbanscape-coord-sckC-no_unc-e2-lr0.0002-sim_only-sc1.00-tiny"
+
+        # epoch_plus legs snapshot to model_epoch_plus_resume.net (reference
+        # naming when --network_in initialized the run, utils/learning.py:317)
+        pa = self._net_params(out_a / "model.net")
+        pb = self._net_params(out_b / "model_epoch_plus_resume.net")
+        pc = self._net_params(out_c / "model_epoch_plus_resume.net")
+        # exact resume: resumed epoch-1 == uninterrupted epoch-1 (CPU math is
+        # deterministic; data order and aug keys are epoch-keyed)
+        for k in pa:
+            np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
+        # weights-only resume resets Adam moments -> different trajectory
+        assert any(not np.array_equal(pa[k], pc[k]) for k in pa), (
+            "weights-only control unexpectedly matched the exact-resume run")
+
+    def test_orbax_backend_cli_smoke(self, workspace, monkeypatch):
+        monkeypatch.chdir(workspace)
+        args = common_train_args(workspace, "coord", [
+            "--session", "ckO", "--ckpt_backend", "orbax"])
+        train_cli.main(args)
+        out = workspace / "output" / "urbanscape-coord-sckO-no_unc-e1-lr0.0002-sim_only-sc1.00-tiny"
+        assert (out / "FLAG_training_done.nodata").exists()
+        # auto_resume restores the orbax state (epochs already done -> no-op loop)
+        train_cli.main(args + ["--auto_resume"])
+        assert "Restored full train state" in (out / "output.log").read_text()
+
+
 class TestMultiHostCLI:
     """Multi-host wiring exercised single-process by monkeypatching the
     process topology (the real DCN transport needs >1 host; everything else

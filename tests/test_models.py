@@ -165,3 +165,49 @@ class TestShardedForward:
             ps = parallel.replicate(mesh, params)
             out = np.asarray(fwd(ps, xs))
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+class TestStemS2D:
+    def test_s2d_stems_match_standard_path(self, rng):
+        """space-to-depth stems are an exact re-expression: same param tree,
+        same output (to float reassociation) as the standard ConvGN stems."""
+        net_std = models.build_network("coord", uncertainty="MLE",
+                                       mean=[1.0, 2.0, 3.0])
+        net_s2d = models.build_network("coord", uncertainty="MLE",
+                                       mean=[1.0, 2.0, 3.0], stem_s2d=True)
+        x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+        params = net_std.init(jax.random.PRNGKey(0), x)
+        params_s2d = net_s2d.init(jax.random.PRNGKey(0), x)
+        # identical param trees (the .net checkpoint contract)
+        flat_a = jax.tree_util.tree_structure(params)
+        flat_b = jax.tree_util.tree_structure(params_s2d)
+        assert flat_a == flat_b
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params_s2d)):
+            assert a.shape == b.shape
+
+        ref = np.asarray(jax.jit(net_std.apply)(params, x))
+        got = np.asarray(jax.jit(net_s2d.apply)(params, x))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-4 * max(scale, 1.0), rtol=1e-4)
+
+    def test_s2d_odd_shape_falls_back(self, rng):
+        net = models.build_network("coord", uncertainty="MLE",
+                                   mean=[0.0, 0.0, 0.0], stem_s2d=True)
+        x = jnp.asarray(rng.normal(size=(1, 63, 95, 3)), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        out = net.apply(params, x)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_s2d_gradients_flow(self, rng):
+        net = models.build_network("coord", uncertainty="MLE",
+                                   mean=[0.0, 0.0, 0.0], stem_s2d=True)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.sum(jnp.square(net.apply(p, x)[..., :3]))
+
+        g = jax.grad(loss)(params)
+        k1 = g["params"]["encoder"]["stem1"]["conv"]["kernel"]
+        assert float(jnp.max(jnp.abs(k1))) > 0.0

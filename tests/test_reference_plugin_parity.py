@@ -60,14 +60,19 @@ def _pose_err(est4, gt4):
 
 class TestReferencePluginParity:
     def test_forward_rgb_median_parity(self, dsacstar_mod):
-        """Identical noisy GT-oracle inputs through both solvers; medians
-        must agree within RANSAC stochasticity (2x either way) and both must
-        actually localize (sub-meter at 100 m scene depth)."""
+        """Identical noisy GT-oracle inputs through both solvers; our medians
+        must be within 1.25x of the plugin's (the powered 600-frame A/B in
+        PARITY.md measures ours at 0.84x on translation / 1.00x on rotation;
+        tools/plugin_ab.py regenerates it) and both must actually localize
+        (sub-meter at 100 m scene depth). Ours solves all frames in ONE
+        batched call — the TPU-native shape of the pipeline."""
         import torch
 
+        n = 32
         rng = np.random.default_rng(11)
-        t_ref, r_ref, t_ours, r_ours = [], [], [], []
-        for i, (coords, gt) in enumerate(_frames(rng, 12)):
+        frames = list(_frames(rng, n))
+        t_ref, r_ref = [], []
+        for coords, gt in frames:
             sc = torch.from_numpy(coords.transpose(2, 0, 1)[None])
             out_pose = torch.zeros((4, 4))
             dsacstar_mod.forward_rgb(
@@ -78,10 +83,11 @@ class TestReferencePluginParity:
             t_ref.append(te)
             r_ref.append(re_)
 
-            res = ransac.solve_batch(
-                jnp.asarray(coords[None]), FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(i)
-            )
-            te, re_ = _pose_err(np.asarray(res.cam_to_world[0]), gt)
+        batch = jnp.asarray(np.stack([c for c, _ in frames]))
+        res = ransac.solve_batch(batch, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(11))
+        t_ours, r_ours = [], []
+        for i, (_, gt) in enumerate(frames):
+            te, re_ = _pose_err(np.asarray(res.cam_to_world[i]), gt)
             t_ours.append(te)
             r_ours.append(re_)
 
@@ -90,8 +96,8 @@ class TestReferencePluginParity:
         print(f"\nreference plugin: median t={mt_ref:.3f} m r={mr_ref:.3f} deg")
         print(f"this framework:   median t={mt_ours:.3f} m r={mr_ours:.3f} deg")
         assert mt_ours < 1.0 and mt_ref < 1.0, (mt_ours, mt_ref)
-        assert mt_ours < 2.0 * mt_ref + 0.05, f"ours {mt_ours} vs ref {mt_ref}"
-        assert mr_ours < 2.0 * mr_ref + 0.05, f"ours {mr_ours} vs ref {mr_ref}"
+        assert mt_ours < 1.25 * mt_ref + 0.02, f"ours {mt_ours} vs ref {mt_ref}"
+        assert mr_ours < 1.25 * mr_ref + 0.02, f"ours {mr_ours} vs ref {mr_ref}"
 
     def test_forward_rgb_exact_coords(self, dsacstar_mod):
         """Exact scene coordinates: both solvers recover the pose almost

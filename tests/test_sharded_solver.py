@@ -14,14 +14,20 @@ from test_ransac import synth_scene, pose_errors, FOCAL, IMG_H, IMG_W
 
 
 class TestHypSharded:
+    @pytest.mark.slow
     def test_recovers_pose_across_shards(self, rng):
+        # slow-marked: even rolled (unroll=False) and at a tiny refine
+        # budget, the P3P SoA graph under shard_map x vmap costs ~12 min of
+        # XLA *CPU* compile (measured; the unrolled default was >20 min) —
+        # the collective path's cheap guard is test_divisibility_guard below
         mesh = parallel.make_mesh(jax.devices(), data=2, spatial=4)
         coords, gt = synth_scene(rng, B=2)
-        # tiny refine budget: exact coords converge in 2 outer steps, and the
-        # full default unrolled refine loop under shard_map took ~10 min of
-        # XLA *CPU* compile — a correctness test nobody runs is dead weight
+        # rolled loops + tiny refine budget: exact coords converge in 2 outer
+        # steps, and the default unrolled refine graph under shard_map took
+        # >20 min of XLA *CPU* compile — a test nobody runs is dead weight
         cfg = ransac.RansacConfig(hypotheses=32, sample_rounds=4,
-                                  refine_steps=2, gn_iters=2, polish_iters=1)
+                                  refine_steps=2, gn_iters=2, polish_iters=1,
+                                  unroll=False)
         c2w = solve_batch_hypsharded(
             coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(0), mesh, "spatial", cfg
         )

@@ -82,14 +82,25 @@ def make_frames(geo, rng, n, noise, outlier):
     return np.stack(coords), np.stack(gts)
 
 
-def pose_errors(geo, est4, gt4):
-    """[B] translation (m) and rotation (deg) errors."""
-    import jax.numpy as jnp
+def rot_angle_deg64(R1, R2):
+    """f64 host-side rotation angle (deg), atan2(sin, cos) form — precise to
+    microdegrees near zero and independent of the accelerator platform (the
+    measurement must not inherit device quantization)."""
+    R1 = np.asarray(R1, np.float64)
+    R2 = np.asarray(R2, np.float64)
+    Rrel = np.swapaxes(R1, -1, -2) @ R2
+    cos_t = (np.trace(Rrel, axis1=-2, axis2=-1) - 1.0) * 0.5
+    sx = Rrel[..., 2, 1] - Rrel[..., 1, 2]
+    sy = Rrel[..., 0, 2] - Rrel[..., 2, 0]
+    sz = Rrel[..., 1, 0] - Rrel[..., 0, 1]
+    sin_t = 0.5 * np.sqrt(sx * sx + sy * sy + sz * sz)
+    return np.degrees(np.arctan2(sin_t, cos_t))
 
+
+def pose_errors(geo, est4, gt4):
+    """[B] translation (m) and rotation (deg) errors, f64 on host."""
     t = np.linalg.norm(est4[:, :3, 3] - gt4[:, :3, 3], axis=-1)
-    r = np.asarray(
-        jax.vmap(geo.rotation_angle_deg)(jnp.asarray(est4[:, :3, :3]), jnp.asarray(gt4[:, :3, :3]))
-    )
+    r = rot_angle_deg64(est4[:, :3, :3], gt4[:, :3, :3])
     return t, r
 
 

@@ -33,7 +33,8 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     model = models.build_network(
-        "coord", uncertainty="MLE", mean=[-29.34, 184.17, 91.96], dtype=jnp.bfloat16
+        "coord", uncertainty="MLE", mean=[-29.34, 184.17, 91.96],
+        dtype=jnp.bfloat16, stem_s2d=True,
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(batch, 480, 720, 3)), jnp.float32)

@@ -126,6 +126,7 @@ def build_network(
     num_mlr: int = 0,
     num_unfrozen_encoder: int = 0,
     dtype=None,
+    stem_s2d: bool = False,
 ):
     """`config_network` parity (`utils/learning.py:266-305`)."""
     import jax.numpy as jnp
@@ -142,6 +143,7 @@ def build_network(
         num_unfrozen_encoder=num_unfrozen_encoder,
         mean=list(np.asarray(mean, dtype=np.float32)),
         dtype=dtype or jnp.float32,
+        stem_s2d=stem_s2d,
     )
 
 

@@ -71,7 +71,13 @@ class TestVisualize:
         out = str(tmp_path / "results_info.png")
         main(["--pose_errors", str(tmp_path), "--out", out])
         assert os.path.exists(out)
-        assert "Saved pose-error CDF (21 frames" in capsys.readouterr().out
+        # directory scan prefers *_pose_errors.npy and ignores npz dumps
+        # when one exists (double-counting guard, ADVICE r2): 20, not 21
+        assert "Saved pose-error CDF (20 frames" in capsys.readouterr().out
+
+        # a directory with ONLY npz dumps falls back to them
+        t2, r2 = load_pose_errors([str(pred_dir)])
+        assert len(t2) == 1 and t2[0] == 3.0 and r2[0] == 1.5
 
     def test_report_writes_pose_errors_npy(self, tmp_path):
         """scene_coords_report persists per-frame (t, r) errors for the CDF CLI."""

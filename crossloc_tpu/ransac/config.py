@@ -40,6 +40,13 @@ class RansacConfig(NamedTuple):
     # compile of the unrolled refine graph under shard_map ran for tens of
     # minutes (tests/test_sharded_solver.py), the rolled one is seconds
     unroll: bool = True
+    # eval-time: refine the K highest-scoring hypotheses and select the
+    # winner AFTER refinement by its final soft-inlier score. K=1 is the
+    # reference semantics (refine only the pre-selected winner,
+    # `dsacstar.cpp:140-149`); the round-3 oracle diagnosis measured ~35%
+    # of the median translation error to be pre-refinement selection noise
+    # that post-refinement selection recovers (BENCH_NOTES round 3).
+    refine_top_k: int = 1
 
 
 class PoseLossConfig(NamedTuple):

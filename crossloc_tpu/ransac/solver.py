@@ -234,8 +234,26 @@ def _solve_single(coords, grid, cam_mat, key, cfg: RansacConfig, training: bool)
     else:
         chosen = jnp.argmax(probs)  # argmax (`draw`, eval)
 
-    win = pose6[chosen]
-    win = refine_pose(win, coords, grid, cam_mat, cfg)
+    if not training and cfg.refine_top_k > 1:
+        # refine the K best-scoring hypotheses, select AFTER refinement by
+        # the final soft-inlier score: recovers the selection noise the
+        # pre-refinement argmax commits to (oracle diagnosis, BENCH_NOTES
+        # round 3). The selected index is reported as `chosen`.
+        k = min(cfg.refine_top_k, pose6.shape[0])
+        sel_scores = jnp.where(hyp_valid, scores, -jnp.inf) if cfg.eval_selection != "hard" \
+            else jnp.where(hyp_valid, jnp.sum(errs < cfg.inlier_threshold, axis=-1), -1)
+        _, top_idx = jax.lax.top_k(sel_scores, k)
+        refined = jax.vmap(
+            lambda p: refine_pose(p, coords, grid, cam_mat, cfg)
+        )(pose6[top_idx])  # [K, 6]
+        errs_k = _project_errors(refined, coords, grid, cam_mat, cfg.max_pixel_error)
+        final_scores = soft_inlier_score(errs_k, cfg)  # [K]
+        best = jnp.argmax(final_scores)
+        win = refined[best]
+        chosen = top_idx[best]
+    else:
+        win = pose6[chosen]
+        win = refine_pose(win, coords, grid, cam_mat, cfg)
 
     final_errs = _project_errors(win, coords, grid, cam_mat, cfg.max_pixel_error)
     inliers = jnp.sum(final_errs < cfg.inlier_threshold)

@@ -103,6 +103,18 @@ class TestOracle:
         t_err, r_err = pose_errors(res.cam_to_world, gt)
         assert t_err.max() < 0.5 and r_err.max() < 0.3
 
+    def test_refine_top_k_selection(self, rng):
+        """refine_top_k>1 (refine K best hypotheses, select by final
+        soft-inlier score) localizes like the default; A/B on the 180-frame
+        noisy oracle measured 0.155 vs 0.157 m — within CIs, so K=1 stays
+        the default (BENCH_NOTES round 3), the option ships tested."""
+        coords, gt = synth_scene(rng, B=2)
+        cfg = ransac.RansacConfig(refine_top_k=4)
+        res = ransac.solve_batch(coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(5), cfg)
+        t_err, r_err = pose_errors(res.cam_to_world, gt)
+        assert t_err.max() < 0.5 and r_err.max() < 0.3
+        assert int(res.chosen.max()) < cfg.hypotheses
+
     def test_noisy_coords_with_outliers(self, rng):
         coords, gt = synth_scene(rng, B=4, noise=1.0, outlier_frac=0.25)
         res = ransac.solve_batch(coords, FOCAL, (IMG_H, IMG_W), jax.random.PRNGKey(1))

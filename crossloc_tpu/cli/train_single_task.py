@@ -343,7 +343,16 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         step_fn = fused_step
         if fused_e2e_step is not None and epoch >= opt.e2e_warmup_epochs:
             step_fn = fused_e2e_step
-        for batch in loader:
+        iterator = loader
+        if mesh is None:
+            # overlap host->device transfer with device compute (single-
+            # device path only: mesh paths re-place arrays with shardings)
+            from ..data import device_prefetch
+
+            pf_keys = ("image", "pose") + (
+                () if opt.task == "semantics" else (opt.task,))
+            iterator = device_prefetch(iter(loader), keys=pf_keys)
+        for batch in iterator:
             start_time = time.time()
             labels = select_labels(batch, opt.task)
             sub = jax.random.fold_in(epoch_key, batch_idx)

@@ -113,15 +113,6 @@ def main():
     k2 = remap_stem2(w2)
     b1_s2d = np.tile(b1, 4)
 
-    @jax.jit
-    def s2d_path(x):
-        xs = s2d(x)  # [B,240,360,12]
-        y = conv(xs, k1, 1, 1) + jnp.asarray(b1_s2d, x.dtype)  # [B,240,360,128]
-        y = gn_relu_s2d(y, g1, be1).astype(jnp.bfloat16)
-        z = conv(y, k2, 1, 0) + jnp.asarray(b2, x.dtype)  # valid 2x2 -> [B,239,359,64]?? -> need pad
-        z = gn_relu_per_channel(z, g2, be2).astype(jnp.bfloat16)
-        return z
-
     # correctness first (small shapes, f32)
     xs_small = jnp.asarray(rng.normal(size=(2, 16, 20, 3)), jnp.float32)
 

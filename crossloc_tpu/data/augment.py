@@ -95,22 +95,45 @@ def pp_shift_for_translation(scale, angle_rad, tx, ty):
 
 
 def _bilinear_sample(img, rx, ry, fill):
-    """img [H, W, C], rx/ry [h', w'] -> [h', w', C] with OOB fill."""
-    H, W = img.shape[0], img.shape[1]
+    """img [H, W, C], rx/ry [h', w'] -> [h', w', C] with OOB fill.
+
+    One lax.gather of [2, 2, C] corner windows instead of four [1, 1, C]
+    tap gathers: same values (clamped-border bilinear — the window start is
+    clipped to [0, dim-2] and the tap weight saturates, which reproduces
+    the duplicate-edge-tap arithmetic exactly), but 4x fewer gather slices
+    and 4x larger contiguous reads. The train-step per-op profile measured
+    the four-tap version at ~94 GiB/s (28.5 ms/iter of the B=64 train
+    step); this form is DMA-friendly (BENCH_NOTES round 3).
+    """
+    H, W, C = img.shape
     x0 = jnp.floor(rx).astype(jnp.int32)
     y0 = jnp.floor(ry).astype(jnp.int32)
-    x1, y1 = x0 + 1, y0 + 1
-    wx = rx - x0
-    wy = ry - y0
+    xs = jnp.clip(x0, 0, W - 2)
+    ys = jnp.clip(y0, 0, H - 2)
+    wx = jnp.clip(rx - xs.astype(rx.dtype), 0.0, 1.0)
+    wy = jnp.clip(ry - ys.astype(ry.dtype), 0.0, 1.0)
 
-    def gather(yy, xx):
-        yc = jnp.clip(yy, 0, H - 1)
-        xc = jnp.clip(xx, 0, W - 1)
-        return img[yc, xc]
+    h, w = rx.shape
+    starts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)  # [h*w, 2]
+    win = jax.lax.gather(
+        img,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        ),
+        slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,  # starts pre-clipped
+    )  # [h*w, 2, 2, C]
 
-    top = gather(y0, x0) * (1 - wx)[..., None] + gather(y0, x1) * wx[..., None]
-    bot = gather(y1, x0) * (1 - wx)[..., None] + gather(y1, x1) * wx[..., None]
-    out = top * (1 - wy)[..., None] + bot * wy[..., None]
+    # weighted corner sum in the flat [h*w, ...] layout — reshaping the 5-D
+    # window tensor to [h, w, 2, 2, C] first costs a full retiling pass
+    # (measured 5.9 ms at B=64); the final [h*w, C] -> [h, w, C] reshape is
+    # layout-preserving
+    wxn = wx.reshape(-1, 1)
+    wyn = wy.reshape(-1, 1)
+    top = win[:, 0, 0] * (1 - wxn) + win[:, 0, 1] * wxn
+    bot = win[:, 1, 0] * (1 - wxn) + win[:, 1, 1] * wxn
+    out = (top * (1 - wyn) + bot * wyn).reshape(h, w, C)
     inside = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
     return jnp.where(inside[..., None], out, fill)
 

@@ -98,12 +98,15 @@ def _bilinear_sample(img, rx, ry, fill):
     """img [H, W, C], rx/ry [h', w'] -> [h', w', C] with OOB fill.
 
     One lax.gather of [2, 2, C] corner windows instead of four [1, 1, C]
-    tap gathers: same values (clamped-border bilinear — the window start is
-    clipped to [0, dim-2] and the tap weight saturates, which reproduces
-    the duplicate-edge-tap arithmetic exactly), but 4x fewer gather slices
-    and 4x larger contiguous reads. The train-step per-op profile measured
-    the four-tap version at ~94 GiB/s (28.5 ms/iter of the B=64 train
-    step); this form is DMA-friendly (BENCH_NOTES round 3).
+    tap gathers: same sampling math (clamped-border bilinear — the window
+    start is clipped to [0, dim-2] and the tap weight saturates, which
+    reproduces the duplicate-edge-tap arithmetic), but 4x fewer gather
+    slices and 4x larger contiguous reads; the weighted corner sum is a
+    broadcasted reduce so no corner-slice retiling pass is emitted.
+    Values match the factored four-tap form to 1-2 ulp (the weights are
+    distributed). The train-step per-op profile measured the four-tap
+    version at ~94 GiB/s (28.5 ms/iter of the B=64 train step); this form
+    is DMA-friendly and saved 2.3% of the train step (BENCH_NOTES round 3).
     """
     H, W, C = img.shape
     x0 = jnp.floor(rx).astype(jnp.int32)
@@ -127,13 +130,16 @@ def _bilinear_sample(img, rx, ry, fill):
 
     # weighted corner sum in the flat [h*w, ...] layout — reshaping the 5-D
     # window tensor to [h, w, 2, 2, C] first costs a full retiling pass
-    # (measured 5.9 ms at B=64); the final [h*w, C] -> [h, w, C] reshape is
-    # layout-preserving
-    wxn = wx.reshape(-1, 1)
-    wyn = wy.reshape(-1, 1)
-    top = win[:, 0, 0] * (1 - wxn) + win[:, 0, 1] * wxn
-    bot = win[:, 1, 0] * (1 - wxn) + win[:, 1, 1] * wxn
-    out = (top * (1 - wyn) + bot * wyn).reshape(h, w, C)
+    # (measured 5.9 ms at B=64), and slicing the four corners out costs a
+    # kLoop retiling fusion (measured 8.6 ms at B=64); a broadcasted
+    # weight-times-window reduce over the tiny (2, 2) dims fuses with the
+    # gather consumer instead. The final [h*w, C] -> [h, w, C] reshape is
+    # layout-preserving.
+    wxn = wx.reshape(-1)
+    wyn = wy.reshape(-1)
+    wgt = jnp.stack([1 - wyn, wyn], axis=1)[:, :, None] * jnp.stack(
+        [1 - wxn, wxn], axis=1)[:, None, :]  # [h*w, 2, 2]
+    out = jnp.sum(win * wgt[..., None], axis=(1, 2)).reshape(h, w, C)
     inside = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
     return jnp.where(inside[..., None], out, fill)
 

@@ -187,7 +187,13 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         model_path = os.path.join(output_dir, "model.net")
     save_period = 1 if opt.task == "semantics" else 5
 
-    aug_cfg = AugmentConfig(grayscale=opt.grayscale, nodata_value=nodata_value)
+    aug_cfg = AugmentConfig(
+        grayscale=opt.grayscale, nodata_value=nodata_value,
+        # bf16 corner gather on TPU only (f32 accumulation; ~32% faster
+        # resample — data/augment.py); CPU runs keep full-f32 sampling so
+        # the CPU test suite exercises the reference-parity arithmetic
+        image_gather_bf16=jax.default_backend() == "tpu",
+    )
     coord_cfg = CoordLossConfig(
         min_depth=opt.mindepth, soft_clamp=opt.softclamp, hard_clamp=opt.hardclamp,
         init_tolerance=opt.inittolerance, nodata_value=nodata_value,

@@ -41,6 +41,14 @@ class AugmentConfig(NamedTuple):
     grayscale: bool = False
     nodata_value: float = -1.0
     subsample: int = 8
+    # Gather the image's bilinear corner windows in bf16 (interpolation still
+    # accumulates in f32, labels/poses/focal untouched): halves the resample's
+    # HBM reads, ~32% faster gather on v5e (BENCH_NOTES round 3). The only
+    # error is bf16 rounding of the corner VALUES (<=2^-8 relative, ~0.01 abs
+    # on normalized images) — train-time-only noise well below the +-10%
+    # ColorJitter the same pipeline applies. Default off so CPU parity tests
+    # exercise full-f32 sampling; the TPU training surfaces enable it.
+    image_gather_bf16: bool = False
 
 
 def to_grayscale(images):
@@ -202,7 +210,10 @@ def augment_batch(
     images = normalize_images(images, cfg.grayscale)
 
     rx, ry = _inverse_affine_coords(H, W, H, W, scale, angle_rad, images.dtype, tx, ty)
+    if cfg.image_gather_bf16:
+        images = images.astype(jnp.bfloat16)  # f32 accumulation in the sampler
     images = jax.vmap(lambda im: _bilinear_sample(im, rx, ry, cfg.nodata_value))(images)
+    images = images.astype(jnp.float32)
 
     if semantics:
         fill = 0.0

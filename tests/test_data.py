@@ -172,6 +172,25 @@ class TestAugment:
         np.testing.assert_allclose(np.asarray(img[0, 0, 0]), [-1.0] * 3)
         np.testing.assert_allclose(np.asarray(lab[0, 0, 0]), [-1.0] * 3)
 
+    def test_bf16_image_gather_close_and_labels_untouched(self, rng):
+        """image_gather_bf16 rounds only the gathered corner VALUES (f32
+        accumulation): images stay within bf16 input rounding of the f32
+        path, and labels/poses/focal/pp_shift are bit-identical."""
+        images = jnp.asarray(rng.uniform(0, 1, size=(2, 64, 96, 3)), jnp.float32)
+        labels = jnp.asarray(rng.normal(size=(2, 8, 12, 3)) * 5, jnp.float32)
+        poses = jnp.broadcast_to(jnp.eye(4), (2, 4, 4)).astype(jnp.float32)
+        key = jax.random.PRNGKey(3)
+        base = data.augment_batch(images, labels, poses, jnp.float32(100.0),
+                                  key, data.AugmentConfig())
+        fast = data.augment_batch(images, labels, poses, jnp.float32(100.0),
+                                  key, data.AugmentConfig(image_gather_bf16=True))
+        assert fast[0].dtype == jnp.float32
+        # normalized images span ~[-2.6, 2.6]; bf16 relative eps 2^-8
+        np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(base[0]),
+                                   atol=2.6 * 2.0**-8)
+        for got, want in zip(fast[1:], base[1:]):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_normalization_stats(self, rng):
         x = jnp.asarray(rng.uniform(0, 1, size=(2, 8, 8, 3)), jnp.float32)
         n = data.normalize_images(x)

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-s2d", dest="s2d", action="store_false")
     ap.add_argument("--no-donate", dest="donate", action="store_false")
+    ap.add_argument("--no-bf16-gather", dest="bf16_gather", action="store_false",
+                    help="full-f32 image resample (the CPU-test arithmetic)")
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace of the timed loop here")
     args = ap.parse_args()
@@ -47,7 +49,8 @@ def main():
         dtype=jnp.bfloat16, stem_s2d=args.s2d,
     )
     tx = make_optimizer(2e-4, 100, no_lr_scheduling=True)
-    aug_cfg = AugmentConfig(grayscale=False, nodata_value=-1.0)
+    aug_cfg = AugmentConfig(grayscale=False, nodata_value=-1.0,
+                            image_gather_bf16=args.bf16_gather)
     coord_cfg = CoordLossConfig(nodata_value=-1.0)
     train_step = make_train_step(model, tx, "coord", "MLE", -1.0,
                                  coord_cfg, None, None)

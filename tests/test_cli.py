@@ -269,6 +269,61 @@ class TestMultiDeviceCLI:
         assert "Data-parallel training over 4 devices" in log
 
 
+    def test_full_state_resume_onto_wider_mesh(self, workspace, monkeypatch):
+        """Crash-on-1-chip, resume-on-4: a `.state` checkpoint written by a
+        single-device run restores into a DP continuation (restore happens
+        host-side, then `parallel.replicate` shards onto the mesh — the
+        multi-host-shaped restore path, minus real multi-process).
+
+        Trajectory exactness is pinned by test_exact_adam_resume_vs_weights_only
+        (single-device: resumed == uninterrupted bit-for-bit); comparing a
+        mixed-device trajectory against any control is meaningless — early
+        Adam steps are ~lr*sign(m), so reduction-order noise on near-zero
+        gradients flips whole-step signs (measured 4e-4 divergence on conv
+        biases after ONE differing epoch). Here we assert the restore itself:
+        exact step/epoch bookkeeping, no epoch re-run, and real progress."""
+        monkeypatch.chdir(workspace)
+        base = lambda sid, extra: common_train_args(
+            workspace, "coord", ["--session", sid] + extra)
+
+        train_cli.main(base("meshres", ["--epochs", "1", "--batch_size", "4",
+                                        "--ckpt_backend", "msgpack"]))
+        out1 = (workspace / "output" /
+                "urbanscape-coord-smeshres-no_unc-e1-lr0.0002-sim_only-sc1.00-tiny")
+        train_cli.main(base("meshres", ["--epochs", "2", "--epoch_plus",
+                                        "--batch_size", "4",
+                                        "--ckpt_backend", "msgpack",
+                                        "--num_devices", "4"]))
+        out = (workspace / "output" /
+               "urbanscape-coord-smeshres-no_unc-e2-lr0.0002-sim_only-sc1.00-tiny")
+        log = (out / "output.log").read_text()
+        # 4 images / batch 4 -> 1 step/epoch; the restored step must be 1
+        assert "Restored full train state (step 1): exact optimizer resume from epoch 1." in log
+        assert "Data-parallel training over 4 devices" in log
+        assert (out / "FLAG_training_done.nodata").exists()
+        # the -e1 log is copied into the continuation dir (log-parse resume
+        # contract), so epoch 0 appears exactly once — copied, not re-run
+        assert log.count("=== Epoch: 0 ===") == 1
+        assert log.count("=== Epoch: 1 ===") == 1
+
+        # the DP epoch trained from the restored state: params moved by a
+        # finite, one-epoch-sized amount from the epoch-1 snapshot
+        pa = self._net_params(out1 / "model.net")
+        pb = self._net_params(out / "model_epoch_plus_resume.net")
+        assert all(np.isfinite(v).all() for v in pb.values())
+        assert any(not np.array_equal(pa[k], pb[k]) for k in pa)
+        lr = 2e-4  # one epoch = 1 Adam step; per-param step magnitude <= ~lr
+        for k in pa:
+            assert np.max(np.abs(pb[k] - pa[k])) <= 3 * lr, k
+
+    @staticmethod
+    def _net_params(path):
+        import torch
+
+        sd = torch.load(str(path), map_location="cpu", weights_only=False)
+        return {k: np.asarray(v) for k, v in sd.items()}
+
+
 class TestE2EPoseLossCLI:
     """--e2e_pose_loss: DSAC end-to-end training through the real CLI
     (VERDICT r2 #4). The logged Total loss IS the expected pose loss, so a

@@ -94,10 +94,12 @@ def main(argv=None):
         init_params = common.wire_mlr_weights(params, model, encoder_paths,
                                               opt.reuse_coord_encoder)
         # persist the initialized model like the reference
-        # (`utils/learning.py:368-370`)
-        model_path = os.path.join(output_dir, "model.net")
-        compat.save_net(model_path, init_params, model)
-        logging.info("Saving the initialized MLR model weight to {:s}".format(model_path))
+        # (`utils/learning.py:368-370`); rank 0 only — in a multi-host run
+        # every process reaches this line and torch.save is not atomic
+        if jax.process_index() == 0:
+            model_path = os.path.join(output_dir, "model.net")
+            compat.save_net(model_path, init_params, model)
+            logging.info("Saving the initialized MLR model weight to {:s}".format(model_path))
 
     run_training(opt, output_dir, ckpt_output_dir, model=model, init_params=init_params)
 

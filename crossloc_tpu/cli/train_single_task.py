@@ -383,11 +383,15 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
             )
 
             if iteration > save_counter:
+                # reference de-facto-epoch snapshot site (can fire mid-epoch
+                # when batch sizes straddle the epoch boundary). Weights-only:
+                # the full-state `.state` is written ONLY at true epoch
+                # boundaries below — restore floors to an epoch start, so a
+                # mid-epoch `.state` would re-apply the tail batches of its
+                # epoch and break the exact-resume contract.
                 if is_main:
                     logging.info("Saving snapshot of the network to %s." % model_path)
                     compat.save_net(model_path, jax.device_get(state.params), model)
-                    if manager is not None:
-                        manager.save(jax.device_get(state))
                 save_counter = iteration + len(trainset)
                 epoch_de_facto += 1
 
@@ -403,8 +407,13 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         if is_main:
             logging.info("Saving snapshot of the network to %s." % model_path)
             compat.save_net(model_path, jax.device_get(state.params), model)
-            if manager is not None:
-                manager.save(jax.device_get(state))
+        if manager is not None and (is_main or manager.backend == "orbax"):
+            # epoch boundary: state.step is exactly (epoch+1)*steps_per_epoch,
+            # so restore's epoch bookkeeping is exact. Orbax saves are
+            # collective in a multi-host run (train/checkpoint.py:64) — every
+            # process must enter them, not just rank 0; the msgpack file is
+            # written by rank 0 alone.
+            manager.save(jax.device_get(state))
 
     logging.info("Done without errors.")
     if manager is not None:

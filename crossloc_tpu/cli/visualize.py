@@ -176,14 +176,35 @@ def load_pose_errors(paths):
 
     for p in paths:
         if os.path.isdir(p):
-            # One source per directory: *_pose_errors.npy is authoritative;
-            # --save_pred npz dumps are a fallback only when no npy exists
-            # (an eval dir holding both artifacts for the same run would
-            # otherwise double-count every frame and shift the CDF medians).
-            hits = sorted(
+            # One source per CONTAINING directory: *_pose_errors.npy is
+            # authoritative; --save_pred npz dumps are a fallback only for
+            # directories with no npy (a dir holding both artifacts for the
+            # same run would otherwise double-count every frame and shift
+            # the CDF medians). The preference is per-directory, not
+            # per-tree: a parent dir mixing npy-producing runs with older
+            # npz-only runs must keep the npz-only runs' frames.
+            npys = sorted(
                 glob.glob(os.path.join(p, "**", "*_pose_errors.npy"), recursive=True)
-            ) or sorted(glob.glob(os.path.join(p, "**", "*.npz"), recursive=True))
-            for h in hits:
+            )
+            npy_dirs = {os.path.dirname(os.path.abspath(h)) for h in npys}
+            root = os.path.abspath(p)
+
+            def _covered(path):
+                # npz dumps live in <run>/coord_pred_*/ below the run dir
+                # holding the npy — suppress them if ANY ancestor (within
+                # the searched root) already contributed an npy
+                d = os.path.dirname(path)
+                while len(d) >= len(root):
+                    if d in npy_dirs:
+                        return True
+                    d = os.path.dirname(d)
+                return False
+
+            npzs = sorted(
+                h for h in glob.glob(os.path.join(p, "**", "*.npz"), recursive=True)
+                if not _covered(os.path.abspath(h))
+            )
+            for h in npys + npzs:
                 _consume(h)
         else:
             _consume(p)

@@ -33,7 +33,9 @@ def train_output_name(
 
     `e2e` extends the grammar (framework extension): DSAC end-to-end
     pose-loss training (`--e2e_pose_loss`) adds an "-e2e" token after the
-    uncertainty token; `read_meta_info`'s substring decoding is unaffected.
+    uncertainty token. `read_meta_info`'s substring decoding is unaffected;
+    `utils/io.py::get_epoch_from_dirname` anchors the epoch token on its
+    "-lr" suffix so "-e2e" does not parse as an epoch.
     """
     name = f"{scene}-{task}"
     if session:

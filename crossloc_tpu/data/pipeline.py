@@ -98,7 +98,12 @@ class Loader:
         if self.shuffle:
             np.random.default_rng([self.seed, self._epoch]).shuffle(idx)
         rank, world = self.shard
-        idx = idx[rank::world]
+        # truncate to the minimum shard size so every rank sees the SAME
+        # element count — with drop_last=False the final batch would
+        # otherwise differ in size across ranks (len(dataset)=10, world=3,
+        # bs=2: rank 0's batch 1 has 2 items, ranks 1-2 get 1), breaking
+        # make_array_from_process_local_data / deadlocking collectives
+        idx = idx[rank::world][: self._local_size()]
         nb = len(self)
         for b in range(nb):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]

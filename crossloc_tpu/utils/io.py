@@ -66,7 +66,11 @@ def get_unique_file_name(file_path: str) -> str:
 
 
 def get_epoch_from_dirname(model_dirname: str) -> Optional[int]:
-    found = re.findall(r"-e(?P<epoch>\d+)", model_dirname)
+    # the epoch token is always glued to the learning rate ("-e{d}-lr{f}",
+    # compat/naming.py) — anchoring on the "-lr" that follows keeps the
+    # framework's "-e2e" pose-loss token (and any "-e..." session string)
+    # from matching as a second epoch
+    found = re.findall(r"-e(?P<epoch>\d+)(?=-lr)", model_dirname)
     return int(found[0]) if len(found) == 1 else None
 
 
@@ -79,8 +83,11 @@ def search_epoch_extension_model(output_dir: str) -> str:
     dirname = os.path.basename(output_dir)
     cur_epoch = get_epoch_from_dirname(dirname)
     key = f"-e{cur_epoch}"
-    prefix = dirname[: dirname.find(key)]
-    suffix = dirname[dirname.find(key) + len(key):]
+    # locate the epoch token by its "-lr" anchor (an "-e2" substring can
+    # also occur inside the "-e2e" token or a session name)
+    pos = dirname.find(key + "-lr")
+    prefix = dirname[:pos]
+    suffix = dirname[pos + len(key):]
 
     candidates, epochs = [], []
     for entry in glob.glob(os.path.abspath(os.path.join(output_dir, "../*"))):

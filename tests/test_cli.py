@@ -187,6 +187,17 @@ class TestTestCLI:
         # validation scripts, which sweep CKPT_DIR); results for model.net
         # carry no iteration number and are not rankable
         ckpt_dir = workspace / "ckpts" / trained_coord.name
+        if not list(ckpt_dir.glob("results_ckpt_iter_*task_coord.txt")):
+            # self-sufficiency for filtered runs (-k): normally
+            # test_eval_coord_writes_results has already swept the ckpt dir
+            monkeypatch.chdir(workspace)
+            test_cli.main([
+                "urbanscape", "--task", "coord", "--uncertainty", "MLE",
+                "--tiny", "--network_in", str(ckpt_dir),
+                "--section", "val_drone_real",
+                "--datasets_dir", str(workspace / "datasets"),
+                "--image_height", str(IMG_H), "--batch_size", "2",
+            ])
         assert list(ckpt_dir.glob("results_ckpt_iter_*task_coord.txt"))
         monkeypatch.chdir(ckpt_dir)
         select_cli.main(["--task", "coord"])

@@ -170,6 +170,35 @@ class TestNaming:
         )
         assert "-decoder_depth_normal" in name
 
+    def test_e2e_token_does_not_parse_as_epoch(self):
+        """'-e2e' must not confuse the epoch regex that --epoch_plus relies
+        on (`utils/io.py::get_epoch_from_dirname` anchors on '-lr')."""
+        from crossloc_tpu.utils.io import get_epoch_from_dirname
+
+        name = compat.train_output_name(
+            "urbanscape", "coord", uncertainty="MLE", epochs=2,
+            learning_rate=2e-4, real_data_chunk=0.0, sim_data_chunk=1.0,
+            e2e=True,
+        )
+        assert "-e2e-e2-lr" in name
+        assert get_epoch_from_dirname(name) == 2
+        # session strings with an -e<digit> substring must not confuse it
+        assert get_epoch_from_dirname(
+            "urbanscape-coord-sweek-e2-unc-MLE-e50-lr0.0002-sim_only-sc1.00") == 50
+
+    def test_epoch_extension_search_with_e2e_token(self, tmp_path):
+        """search_epoch_extension_model finds the finished -eN sibling of an
+        e2e run (the '-e2' inside '-e2e' must not break the key split)."""
+        from crossloc_tpu.utils.io import search_epoch_extension_model
+
+        old = tmp_path / "urbanscape-coord-unc-MLE-e2e-e2-lr0.0002-sim_only-sc1.00"
+        new = tmp_path / "urbanscape-coord-unc-MLE-e2e-e4-lr0.0002-sim_only-sc1.00"
+        old.mkdir(), new.mkdir()
+        (old / "model.net").write_bytes(b"")
+        (old / "FLAG_training_done.nodata").write_text("")
+        (old / "output.log").write_text("")
+        assert search_epoch_extension_model(str(new)) == str(old)
+
     def test_meta_round_trip(self):
         name = compat.finetune_output_name(
             "urbanscape", "coord", ["coord", "depth", "normal"],

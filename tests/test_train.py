@@ -410,3 +410,28 @@ class TestDistributed:
                 seen.extend(batch["idx"].tolist())
         assert len(seen) == len(set(seen))  # disjoint across ranks
         assert len(seen) >= 12  # full coverage minus drop_last remainders
+
+    def test_loader_batch_shapes_agree_across_ranks(self):
+        """Every rank must produce the same batch COUNT and SIZES, even with
+        drop_last=False and a dataset size that leaves interleaved shards
+        one element apart (10 items, world 3: naive shards are 4/3/3) —
+        otherwise make_array_from_process_local_data sees mismatched local
+        shapes / per-step collectives deadlock (round-3 self-review)."""
+        from crossloc_tpu.data.pipeline import Loader
+
+        class _Ds:
+            def __len__(self):
+                return 10
+
+            def collate(self, idx):
+                return {"idx": np.asarray(idx)}
+
+        for drop_last in (True, False):
+            shapes = []
+            for rank in range(3):
+                loader = Loader(_Ds(), batch_size=2, shuffle=True, seed=7,
+                                num_workers=1, shard=(rank, 3),
+                                drop_last=drop_last)
+                shapes.append([b["idx"].shape for b in loader])
+            assert shapes[0] == shapes[1] == shapes[2], \
+                f"drop_last={drop_last}: {shapes}"

@@ -79,6 +79,27 @@ class TestVisualize:
         t2, r2 = load_pose_errors([str(pred_dir)])
         assert len(t2) == 1 and t2[0] == 3.0 and r2[0] == 1.5
 
+    def test_pose_cdf_npz_only_sibling_run_not_suppressed(self, tmp_path, rng):
+        """The double-count guard is per-run-directory, not per-tree: a parent
+        dir mixing an npy-producing run with an older npz-only sibling run
+        must keep the npz-only run's frames (round-3 self-review finding)."""
+        from crossloc_tpu.cli.visualize import load_pose_errors
+
+        run_a = tmp_path / "runA"
+        run_a.mkdir()
+        np.save(str(run_a / "val_sim_model.net_pose_errors.npy"),
+                np.stack([rng.uniform(0, 10, 20), rng.uniform(0, 5, 20)], axis=1))
+        # runA's own npz dump is covered by its npy and must be suppressed
+        (run_a / "coord_pred").mkdir()
+        np.savez(str(run_a / "coord_pred" / "frame0.npz"),
+                 pose_t_err=99.0, pose_r_err=99.0)
+        run_b = tmp_path / "runB"
+        run_b.mkdir()
+        np.savez(str(run_b / "frame0.npz"), pose_t_err=3.0, pose_r_err=1.5)
+
+        t, r = load_pose_errors([str(tmp_path)])
+        assert len(t) == 21 and 3.0 in t and 99.0 not in t
+
     def test_report_writes_pose_errors_npy(self, tmp_path):
         """scene_coords_report persists per-frame (t, r) errors for the CDF CLI."""
         from crossloc_tpu.eval.reports import scene_coords_report

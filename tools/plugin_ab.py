@@ -211,7 +211,7 @@ def main(argv=None):
         print("\n== diagnosis (averaged over seeds) ==")
         print(f"median t, our selection + our refinement : {d['chosen']:.3f} m")
         print(f"median t, ORACLE selection (min true err): {d['oracle']:.3f} m")
-        print(f"median pre-refinement err of chosen hyp  : {d['chosen_pre']:.3f} m")
+        print(f"median t, ORACLE selection pre-refinement: {d['oracle_pre']:.3f} m")
         print(f"frames where oracle beats chosen by >20% : {d['sel_loss_frac']*100:.0f}%")
 
     if args.json:
@@ -224,7 +224,10 @@ def main(argv=None):
 def diagnose(ransac, geo, jnp, coords, gts, cfg, seed, chosen_t):
     """Refine EVERY hypothesis to completion; oracle-select by true pose
     error. If oracle-selection ~ chosen-selection, selection is not the
-    bottleneck; if oracle << chosen, the residual is selection-driven."""
+    bottleneck; if oracle << chosen, the residual is selection-driven.
+    `oracle_pre` is the best-case pre-refinement error (min over all valid
+    hypotheses, NOT the chosen one) — it bounds what hypothesis generation
+    alone achieves; oracle - oracle_pre is refinement's best-case gain."""
     import jax
 
     from crossloc_tpu.ransac import solver as S
@@ -244,7 +247,7 @@ def diagnose(ransac, geo, jnp, coords, gts, cfg, seed, chosen_t):
             pre_c2w = jax.vmap(lambda p: geo.invert_se3(geo.pose_vec_to_w2c(p)))(pose6)
         return c2w, pre_c2w, valid
 
-    oracle_t, chosen_pre_t = [], []
+    oracle_t, oracle_pre_t = [], []
     for i in range(B):
         k_img = jax.random.split(jax.random.PRNGKey(seed), B)[i]
         k_sample, k_draw = jax.random.split(k_img)
@@ -253,12 +256,12 @@ def diagnose(ransac, geo, jnp, coords, gts, cfg, seed, chosen_t):
         t_all = np.where(np.asarray(valid), t_all, np.inf)
         oracle_t.append(t_all.min())
         pre_all = np.linalg.norm(np.asarray(pre_c2w)[:, :3, 3] - gts[i][:3, 3], axis=-1)
-        chosen_pre_t.append(np.where(np.asarray(valid), pre_all, np.inf).min())
+        oracle_pre_t.append(np.where(np.asarray(valid), pre_all, np.inf).min())
     oracle_t = np.asarray(oracle_t)
     return {
         "chosen": float(np.median(chosen_t)),
         "oracle": float(np.median(oracle_t)),
-        "chosen_pre": float(np.median(chosen_pre_t)),
+        "oracle_pre": float(np.median(oracle_pre_t)),
         "sel_loss_frac": float(np.mean(chosen_t > oracle_t * 1.2 + 0.02)),
     }
 

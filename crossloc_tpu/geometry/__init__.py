@@ -7,6 +7,7 @@ from .camera import (
     reprojection_errors,
 )
 from .kabsch import kabsch
+from .linalg import solve_spd
 from .p3p import bearings_from_pixels, p3p_from_4pts, p3p_lambdatwist
 from .se3 import (
     hat,
@@ -37,6 +38,7 @@ __all__ = [
     "reprojection_errors",
     "rodrigues",
     "rotation_angle_deg",
+    "solve_spd",
     "transform_points",
     "w2c_to_pose_vec",
 ]

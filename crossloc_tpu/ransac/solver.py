@@ -39,6 +39,7 @@ from ..geometry import (
     pixel_grid,
     pose_vec_to_w2c,
     rodrigues,
+    solve_spd,
 )
 from .config import RansacConfig
 
@@ -62,8 +63,14 @@ def _project_errors(pose6, coords, grid, cam_mat, max_err):
     relies on the same clamp, `dsacstar_util.h:438-443`).
     """
     R = rodrigues(pose6[..., 0:3])
-    Xc = jnp.einsum("...ij,nj->...ni", R, coords) + pose6[..., None, 3:6]
-    proj = jnp.einsum("ij,...nj->...ni", cam_mat, Xc)
+    # fold the intrinsics into the pose first: K (R X + t) = (K R) X + K t.
+    # One [..., N, 3] projected tensor instead of camera-frame + pixel-frame
+    # (the B=128 eval profile charged the second einsum + its layout
+    # copies/slices ~8 ms/step); z is bit-identical (row 2 of K is [0,0,1])
+    # and px/py only reassociate the 3x3 products.
+    KR = jnp.einsum("ij,...jk->...ik", cam_mat, R)
+    Kt = jnp.einsum("ij,...j->...i", cam_mat, pose6[..., 3:6])
+    proj = jnp.einsum("...ij,nj->...ni", KR, coords) + Kt[..., None, :]
     z = proj[..., 2]
     pix = proj[..., 0:2] / jnp.maximum(z, 1e-6)[..., None]
     # safe norm: exact reconstructions hit err == 0, where plain norm has a
@@ -128,7 +135,10 @@ def _gn_refine(pose6, coords, grid, cam_mat, mask, cfg: RansacConfig):
         # over-damps translation and stalls convergence (measured 2x worse
         # median error on the noisy GT-oracle benchmark)
         damp = cfg.gn_damping * jnp.diag(JtJ) + 1e-9
-        delta = jnp.linalg.solve(JtJ + jnp.diag(damp), Jtr)
+        # unrolled Cholesky instead of jnp.linalg.solve: the LU lowering is a
+        # standalone unfusable kernel dispatched ~40x sequentially per solve
+        # (geometry/linalg.py); the damped JtJ is SPD by construction
+        delta = solve_spd(JtJ + jnp.diag(damp), Jtr)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         # compose the local update: R_new = R(omega) R, t_new = R(omega) t + dt
         omega, dt = -delta[0:3], -delta[3:6]

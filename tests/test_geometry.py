@@ -201,3 +201,51 @@ class TestP3P:
         pix = rng.uniform(0, 400, size=(4, 2))
         _, _, err, valid = geo.p3p_from_4pts(jnp.asarray(X), jnp.asarray(pix), jnp.asarray(K))
         assert not bool(valid) or float(err) > 10.0
+
+
+class TestSolveSPD:
+    """Unrolled Cholesky solve vs numpy LU on SPD systems (geometry/linalg.py)."""
+
+    def _spd(self, rng, n=6, batch=()):
+        A = rng.normal(size=batch + (n, n))
+        A = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+        b = rng.normal(size=batch + (n,))
+        return A, b
+
+    def test_matches_numpy_solve(self):
+        rng = np.random.default_rng(0)
+        A, b = self._spd(rng, batch=(32,))
+        x = np.asarray(geo.solve_spd(jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)))
+        ref = np.linalg.solve(A, b[..., None])[..., 0]
+        assert np.max(np.abs(x - ref) / (1.0 + np.abs(ref))) < 1e-4
+
+    def test_gn_normal_equations_shape(self):
+        # the solver's actual use: damped JtJ with a ~1e4x diagonal spread
+        rng = np.random.default_rng(1)
+        J = rng.normal(size=(500, 6)) * np.array([100.0, 100.0, 100.0, 1.0, 1.0, 1.0])
+        JtJ = J.T @ J
+        damp = 1e-4 * np.diag(JtJ) + 1e-9
+        A = JtJ + np.diag(damp)
+        b = J.T @ rng.normal(size=500)
+        x = np.asarray(geo.solve_spd(jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)))
+        ref = np.linalg.solve(A, b)
+        assert np.max(np.abs(x - ref) / (1.0 + np.abs(ref))) < 1e-3
+
+    def test_rank_deficient_is_finite(self):
+        A = jnp.zeros((6, 6), jnp.float32)
+        x = geo.solve_spd(A, jnp.ones((6,), jnp.float32))
+        assert bool(jnp.all(jnp.isfinite(x)))
+
+    def test_gradients_match_lu(self):
+        rng = np.random.default_rng(2)
+        A, b = self._spd(rng)
+        A32, b32 = jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        f_chol = lambda A, b: jnp.sum(geo.solve_spd(A, b) ** 2)
+        f_lu = lambda A, b: jnp.sum(jnp.linalg.solve(A, b) ** 2)
+        gA1, gb1 = jax.grad(f_chol, argnums=(0, 1))(A32, b32)
+        gA2, gb2 = jax.grad(f_lu, argnums=(0, 1))(A32, b32)
+        # Cholesky uses only the lower triangle; LU spreads dL/dA over both —
+        # compare the symmetrized gradient (the solver's JtJ is symmetric)
+        sym = lambda g: np.asarray(g + jnp.swapaxes(g, -1, -2)) / 2
+        assert np.max(np.abs(sym(gA1) - sym(gA2))) < 1e-3 * (1 + np.max(np.abs(sym(gA2))))
+        assert np.max(np.abs(np.asarray(gb1 - gb2))) < 1e-4 * (1 + np.max(np.abs(np.asarray(gb2))))

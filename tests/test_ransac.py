@@ -271,3 +271,31 @@ class TestLocalizer:
         assert coords.shape == (2, 8, 12, 3)
         assert res.cam_to_world.shape == (2, 4, 4)
         assert bool(jnp.all(jnp.isfinite(res.cam_to_world)))
+
+
+class TestProjectErrors:
+    """The intrinsics-folded projection (solver.py::_project_errors) must
+    match the naive two-step form K (R X + t) to float tolerance."""
+
+    def test_matches_two_step_projection(self):
+        rng = np.random.default_rng(7)
+        coords, _ = synth_scene(rng, B=1, noise=2.0)
+        X = np.asarray(coords)[0].reshape(-1, 3).astype(np.float32)
+        grid = np.asarray(geo.pixel_grid(HS, WS, 8)).reshape(-1, 2)
+        K = np.asarray(geo.intrinsics(FOCAL, IMG_W, IMG_H), np.float64)
+        pose6 = np.concatenate([rng.normal(size=3) * 0.4,
+                                rng.normal(size=3) * 5 + [0, 0, 80]]).astype(np.float32)
+        from crossloc_tpu.ransac.solver import _project_errors
+        got = np.asarray(_project_errors(
+            jnp.asarray(pose6), jnp.asarray(X), jnp.asarray(grid, jnp.float32),
+            jnp.asarray(K, jnp.float32), 100.0))
+        # f64 reference, naive order: pix = (K @ (R X + t)) perspective-divided
+        R = np.asarray(geo.rodrigues(jnp.asarray(pose6[:3])), np.float64)
+        Xc = X.astype(np.float64) @ R.T + pose6[3:6].astype(np.float64)
+        proj = Xc @ K.T
+        z = proj[:, 2]
+        pix = proj[:, :2] / np.maximum(z, 1e-6)[:, None]
+        err = np.sqrt(np.sum((pix - grid) ** 2, axis=-1) + 1e-12)
+        err = np.where(z > 1e-6, err, 100.0)
+        ref = np.minimum(err, 100.0)
+        assert np.max(np.abs(got - ref)) < 5e-2  # px, f32-vs-f64 rounding

@@ -58,6 +58,10 @@ def config_parser():
     parser.add_argument("--datasets_dir", type=str, default="./datasets")
     parser.add_argument("--image_height", type=int, default=480,
                         help="standard input image height (framework extension)")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="data-parallel evaluation over a device mesh "
+                             "(framework extension; batches are padded to a "
+                             "multiple of this and sharded on the batch axis)")
     return parser
 
 
@@ -170,6 +174,39 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
     params = compat.load_net(network_path, model)
     print("Successfully loaded %s." % network_path)
 
+    # data-parallel eval (framework extension): shard the batch axis over a
+    # 1-D device mesh; params replicate, XLA partitions the fused programs.
+    # Tail batches are padded to a multiple of the mesh (results sliced off
+    # host-side), so any dataset length works with any device count.
+    ndev = max(1, int(getattr(opt, "num_devices", 1) or 1))
+    if ndev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .. import parallel
+
+        devices = jax.devices()[:ndev]
+        if len(devices) < ndev:
+            raise ValueError(f"requested {ndev} devices, found {len(devices)}")
+        mesh = parallel.make_mesh(devices, data=ndev, spatial=1)
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, replicated)
+        print("Data-parallel evaluation over %d devices" % ndev)
+
+    def shard_batch(*arrays):
+        """Pad leading dim to a multiple of the mesh and shard it. Returns
+        (sharded arrays..., real batch size)."""
+        n = int(arrays[0].shape[0])
+        if ndev == 1:
+            return (*arrays, n)
+        pad = (-n) % ndev
+        out = []
+        for a in arrays:
+            if pad:
+                a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+            out.append(jax.device_put(a, batch_sharding))
+        return (*out, n)
+
     cfg = ransac.RansacConfig(
         hypotheses=opt.hypotheses,
         inlier_threshold=opt.threshold,
@@ -223,7 +260,9 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
                 batch["semantics"][..., None].astype(np.float32)
                 if task == "semantics" else batch[task]
             )
-            preds, unc = forward(params, images)
+            images, n_real = shard_batch(images)
+            preds_pad, unc_pad = forward(params, images)
+            preds, unc = preds_pad[:n_real], unc_pad[:n_real]
             file_name_ls += [os.path.basename(f) for f in batch["file_name"]]
 
             if task == "coord":
@@ -231,9 +270,10 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
                 # (`utils/evaluation.py:161-172` evaluates each image with
                 # its own focal; a batch may mix calibrations)
                 focal = jnp.asarray(np.asarray(batch["focal"], np.float32))
+                focal, _ = shard_batch(focal)
                 key, sub = jax.random.split(key)
-                res = solve(preds, focal, sub, (images.shape[1], images.shape[2]))
-                for b in range(images.shape[0]):
+                res = solve(preds_pad, focal, sub, (images.shape[1], images.shape[2]))
+                for b in range(n_real):
                     t_err, r_err = evaluation.pose_err(batch["pose"][b], res.cam_to_world[b])
                     t_err_ls.append(t_err)
                     r_err_ls.append(r_err)
@@ -273,7 +313,7 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
                     from .visualize import semantic_plotter
 
                     semantic_plotter(
-                        np.asarray(images), pred_cls, np.asarray(labels),
+                        np.asarray(images)[:n_real], pred_cls, np.asarray(labels),
                         network_path, this_section, len(acc_ls) - 1,
                     )
             else:

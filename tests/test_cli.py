@@ -280,6 +280,41 @@ class TestMultiDeviceCLI:
         assert "Data-parallel training over 4 devices" in log
 
 
+    def test_data_parallel_eval_matches_single_device(self, workspace, monkeypatch):
+        """--num_devices on the eval CLI: batch axis sharded over the mesh,
+        tail batch padded (2 frames onto 4 devices) — per-frame pose errors
+        must match the single-device run."""
+        monkeypatch.chdir(workspace)
+        train_cli.main(common_train_args(workspace, "coord", [
+            "--uncertainty", "MLE", "--session", "dpeval", "--batch_size", "4",
+        ]))
+        out = (workspace / "output" /
+               "urbanscape-coord-sdpeval-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny")
+        eval_args = lambda n: [
+            "urbanscape", "--task", "coord", "--uncertainty", "MLE", "--tiny",
+            "--network_in", str(out / "model.net"),
+            "--section", "val_drone_real",
+            "--datasets_dir", str(workspace / "datasets"),
+            "--image_height", str(IMG_H), "--batch_size", "2",
+            "--save_pred", "--num_devices", str(n),
+        ]
+
+        def per_frame_errors():
+            pred_dir = out / "coord_pred_model.net_val_drone_real"
+            return {
+                p.name: (float(np.load(p)["pose_t_err"]), float(np.load(p)["pose_r_err"]))
+                for p in sorted(pred_dir.glob("*.npz"))
+            }
+
+        test_cli.main(eval_args(1))
+        single = per_frame_errors()
+        test_cli.main(eval_args(4))
+        multi = per_frame_errors()
+        assert single.keys() == multi.keys() and len(single) > 0
+        for name in single:
+            np.testing.assert_allclose(multi[name], single[name], rtol=1e-4,
+                                       err_msg=name)
+
     def test_full_state_resume_onto_wider_mesh(self, workspace, monkeypatch):
         """Crash-on-1-chip, resume-on-4: a `.state` checkpoint written by a
         single-device run restores into a DP continuation (restore happens

@@ -248,7 +248,12 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
         file_name_ls = []
 
         key = jax.random.PRNGKey(2021)
-        for batch in loader:
+
+        def dispatch(batch):
+            """Device-side work only: enqueue the fused programs (jax
+            dispatch is async) and return the result futures, so the host
+            consumes the PREVIOUS batch's results while this one computes."""
+            nonlocal key
             images = jnp.asarray(batch["image"])
             if grayscale:
                 # the reference's raw_image eval path feeds 3-channel tensors
@@ -262,9 +267,8 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
             )
             images, n_real = shard_batch(images)
             preds_pad, unc_pad = forward(params, images)
-            preds, unc = preds_pad[:n_real], unc_pad[:n_real]
-            file_name_ls += [os.path.basename(f) for f in batch["file_name"]]
-
+            d = dict(batch=batch, labels=labels, n_real=n_real,
+                     preds=preds_pad[:n_real], unc=unc_pad[:n_real])
             if task == "coord":
                 # per-image calibration: the solver takes focal as [B]
                 # (`utils/evaluation.py:161-172` evaluates each image with
@@ -272,7 +276,19 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
                 focal = jnp.asarray(np.asarray(batch["focal"], np.float32))
                 focal, _ = shard_batch(focal)
                 key, sub = jax.random.split(key)
-                res = solve(preds_pad, focal, sub, (images.shape[1], images.shape[2]))
+                d["res"] = solve(preds_pad, focal, sub,
+                                 (images.shape[1], images.shape[2]))
+            elif task == "semantics" and opt.plot:
+                d["images"] = images
+            return d
+
+        def consume(d):
+            batch, labels, n_real = d["batch"], d["labels"], d["n_real"]
+            preds, unc = d["preds"], d["unc"]
+            file_name_ls.extend(os.path.basename(f) for f in batch["file_name"])
+
+            if task == "coord":
+                res = d["res"]
                 for b in range(n_real):
                     t_err, r_err = evaluation.pose_err(batch["pose"][b], res.cam_to_world[b])
                     t_err_ls.append(t_err)
@@ -313,11 +329,22 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
                     from .visualize import semantic_plotter
 
                     semantic_plotter(
-                        np.asarray(images)[:n_real], pred_cls, np.asarray(labels),
+                        np.asarray(d["images"])[:n_real], pred_cls, np.asarray(labels),
                         network_path, this_section, len(acc_ls) - 1,
                     )
             else:
                 raise NotImplementedError(task)
+
+        # one-batch lookahead: batch i+1's device work is in flight while
+        # batch i's host-side metrics/prints/saves run
+        pending = None
+        for batch in loader:
+            d = dispatch(batch)
+            if pending is not None:
+                consume(pending)
+            pending = d
+        if pending is not None:
+            consume(pending)
 
         print("{:s} Evaluating over section {:s} is done!{:s}".format("*" * 20, this_section, "*" * 20))
         if task == "coord":

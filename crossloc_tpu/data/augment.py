@@ -49,6 +49,13 @@ class AugmentConfig(NamedTuple):
     # ColorJitter the same pipeline applies. Default off so CPU parity tests
     # exercise full-f32 sampling; the TPU training surfaces enable it.
     image_gather_bf16: bool = False
+    # Gather corner windows from a batch-inside [H, W, B*C] re-layout of the
+    # image (the warp is per-batch shared, so every output pixel's window is
+    # the same for all images): 4 contiguous [B*C] fragments per gather row
+    # instead of 4*B C-sized ones — ~12x fewer DMA fragments for identical
+    # bytes (tools/gather_layout_probe.py). Bit-exact vs the per-image path
+    # (same 4-term weighted sum). Default off pending the TPU probe.
+    gather_batch_inside: bool = False
 
 
 def to_grayscale(images):
@@ -102,6 +109,53 @@ def pp_shift_for_translation(scale, angle_rad, tx, ty):
     return jnp.stack([dx, dy])
 
 
+def _corner_starts_weights(rx, ry, H, W):
+    """Clipped corner-window starts + bilinear weights for a [h', w'] warp.
+
+    Clamping the window start to [0, dim-2] with a saturated tap weight
+    reproduces clamped-border bilinear's duplicate-edge-tap arithmetic.
+    Returns (starts [h'w', 2] int32, wgt [h'w', 2, 2], inside [h', w'])."""
+    x0 = jnp.floor(rx).astype(jnp.int32)
+    y0 = jnp.floor(ry).astype(jnp.int32)
+    xs = jnp.clip(x0, 0, W - 2)
+    ys = jnp.clip(y0, 0, H - 2)
+    wx = jnp.clip(rx - xs.astype(rx.dtype), 0.0, 1.0)
+    wy = jnp.clip(ry - ys.astype(ry.dtype), 0.0, 1.0)
+    starts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)
+    wxn = wx.reshape(-1)
+    wyn = wy.reshape(-1)
+    wgt = jnp.stack([1 - wyn, wyn], axis=1)[:, :, None] * jnp.stack(
+        [1 - wxn, wxn], axis=1)[:, None, :]  # [h'w', 2, 2]
+    inside = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
+    return starts, wgt, inside
+
+
+def _bilinear_sample_batch(images, rx, ry, fill):
+    """images [B, H, W, C] resampled by a per-batch SHARED warp, gathering
+    from a batch-inside [H, W, B*C] re-layout: every output pixel's corner
+    window is 4 contiguous [B*C] fragments instead of 4*B C-sized ones —
+    ~12x fewer DMA fragments for identical bytes
+    (tools/gather_layout_probe.py). The weighted corner sum is the same
+    4-term tree as `_bilinear_sample`, so results are bit-exact vs the
+    vmapped per-image path (pinned by test)."""
+    B, H, W, C = images.shape
+    h, w = rx.shape
+    starts, wgt, inside = _corner_starts_weights(rx, ry, H, W)
+    imgT = jnp.transpose(images, (1, 2, 0, 3)).reshape(H, W, B * C)
+    win = jax.lax.gather(
+        imgT,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        ),
+        slice_sizes=(2, 2, B * C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,  # starts pre-clipped
+    )  # [h*w, 2, 2, B*C]
+    out = jnp.sum(win * wgt[..., None], axis=(1, 2))  # [h*w, B*C]
+    out = out.reshape(h * w, B, C).transpose(1, 0, 2).reshape(B, h, w, C)
+    return jnp.where(inside[None, :, :, None], out, fill)
+
+
 def _bilinear_sample(img, rx, ry, fill):
     """img [H, W, C], rx/ry [h', w'] -> [h', w', C] with OOB fill.
 
@@ -117,15 +171,8 @@ def _bilinear_sample(img, rx, ry, fill):
     is DMA-friendly and saved 2.3% of the train step (BENCH_NOTES round 3).
     """
     H, W, C = img.shape
-    x0 = jnp.floor(rx).astype(jnp.int32)
-    y0 = jnp.floor(ry).astype(jnp.int32)
-    xs = jnp.clip(x0, 0, W - 2)
-    ys = jnp.clip(y0, 0, H - 2)
-    wx = jnp.clip(rx - xs.astype(rx.dtype), 0.0, 1.0)
-    wy = jnp.clip(ry - ys.astype(ry.dtype), 0.0, 1.0)
-
     h, w = rx.shape
-    starts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)  # [h*w, 2]
+    starts, wgt, inside = _corner_starts_weights(rx, ry, H, W)
     win = jax.lax.gather(
         img,
         starts,
@@ -143,12 +190,7 @@ def _bilinear_sample(img, rx, ry, fill):
     # weight-times-window reduce over the tiny (2, 2) dims fuses with the
     # gather consumer instead. The final [h*w, C] -> [h, w, C] reshape is
     # layout-preserving.
-    wxn = wx.reshape(-1)
-    wyn = wy.reshape(-1)
-    wgt = jnp.stack([1 - wyn, wyn], axis=1)[:, :, None] * jnp.stack(
-        [1 - wxn, wxn], axis=1)[:, None, :]  # [h*w, 2, 2]
     out = jnp.sum(win * wgt[..., None], axis=(1, 2)).reshape(h, w, C)
-    inside = (rx >= 0) & (rx <= W - 1) & (ry >= 0) & (ry <= H - 1)
     return jnp.where(inside[..., None], out, fill)
 
 
@@ -212,7 +254,10 @@ def augment_batch(
     rx, ry = _inverse_affine_coords(H, W, H, W, scale, angle_rad, images.dtype, tx, ty)
     if cfg.image_gather_bf16:
         images = images.astype(jnp.bfloat16)  # f32 accumulation in the sampler
-    images = jax.vmap(lambda im: _bilinear_sample(im, rx, ry, cfg.nodata_value))(images)
+    if cfg.gather_batch_inside:
+        images = _bilinear_sample_batch(images, rx, ry, cfg.nodata_value)
+    else:
+        images = jax.vmap(lambda im: _bilinear_sample(im, rx, ry, cfg.nodata_value))(images)
     images = images.astype(jnp.float32)
 
     if semantics:

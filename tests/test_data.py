@@ -191,6 +191,24 @@ class TestAugment:
         for got, want in zip(fast[1:], base[1:]):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_batch_inside_gather_bit_exact(self, rng):
+        """gather_batch_inside re-lays the gather operand only; every output
+        (incl. with bf16 corner reads) is BIT-identical to the per-image
+        path — the weighted corner sum is the same 4-term tree."""
+        images = jnp.asarray(rng.uniform(0, 1, size=(3, 64, 96, 3)), jnp.float32)
+        labels = jnp.asarray(rng.normal(size=(3, 8, 12, 3)) * 5, jnp.float32)
+        poses = jnp.broadcast_to(jnp.eye(4), (3, 4, 4)).astype(jnp.float32)
+        key = jax.random.PRNGKey(5)
+        for bf16 in (False, True):
+            base = data.augment_batch(
+                images, labels, poses, jnp.float32(100.0), key,
+                data.AugmentConfig(image_gather_bf16=bf16))
+            alt = data.augment_batch(
+                images, labels, poses, jnp.float32(100.0), key,
+                data.AugmentConfig(image_gather_bf16=bf16, gather_batch_inside=True))
+            for got, want in zip(alt, base):
+                np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_normalization_stats(self, rng):
         x = jnp.asarray(rng.uniform(0, 1, size=(2, 8, 8, 3)), jnp.float32)
         n = data.normalize_images(x)

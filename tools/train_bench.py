@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--no-donate", dest="donate", action="store_false")
     ap.add_argument("--no-bf16-gather", dest="bf16_gather", action="store_false",
                     help="full-f32 image resample (the CPU-test arithmetic)")
+    ap.add_argument("--batch-inside-gather", action="store_true",
+                    help="gather corner windows from the batch-inside "
+                         "[H,W,B*C] re-layout (bit-exact; see "
+                         "tools/gather_layout_probe.py)")
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace of the timed loop here")
     args = ap.parse_args()
@@ -50,7 +54,8 @@ def main():
     )
     tx = make_optimizer(2e-4, 100, no_lr_scheduling=True)
     aug_cfg = AugmentConfig(grayscale=False, nodata_value=-1.0,
-                            image_gather_bf16=args.bf16_gather)
+                            image_gather_bf16=args.bf16_gather,
+                            gather_batch_inside=args.batch_inside_gather)
     coord_cfg = CoordLossConfig(nodata_value=-1.0)
     train_step = make_train_step(model, tx, "coord", "MLE", -1.0,
                                  coord_cfg, None, None)

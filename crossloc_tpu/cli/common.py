@@ -25,6 +25,29 @@ def select_device_from_env() -> None:
         jax.config.update("jax_default_device", devices[idx])
         logging.info("Selected device %s via CROSSLOC_DEVICE_ORDINAL", devices[idx])
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for the CLI entry points.
+
+    The reference validation workflow sweeps checkpoints with ONE process
+    per `test_single_task.py` invocation (`script_clean_validation/*.sh`),
+    so every invocation would recompile the identical fused net+RANSAC
+    program (~20-40 s on TPU). A shared on-disk cache makes every run
+    after the first start hot. Override the location with
+    CROSSLOC_COMPILATION_CACHE (set to "0" to disable)."""
+    cache = os.environ.get(
+        "CROSSLOC_COMPILATION_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "crossloc_tpu", "xla"),
+    )
+    if not cache or cache == "0":
+        return
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        logging.info("Compilation cache disabled: %s", e)
+
+
 from .. import compat, models
 from ..data import CamLocDataset, Loader, get_label_mean
 from ..losses import get_nodata_value

@@ -162,6 +162,7 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
                      fullsize, uncertainty) -> str:
     """Evaluate one weight file over all sections; returns the log path."""
     common.select_device_from_env()
+    common.enable_compilation_cache()
     nodata_value = get_nodata_value(scene)
     num_enc = common.infer_num_encoders(network_path)
     # space-to-depth stems: exact re-expression of the same params

@@ -126,6 +126,7 @@ def _process_topology():
 def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None):
     """The training loop shared by train/finetune entry points."""
     common.select_device_from_env()
+    common.enable_compilation_cache()
     nodata_value = get_nodata_value(opt.scene)
 
     # Multi-host: opt.batch_size is the GLOBAL batch; each process loads its

@@ -213,6 +213,29 @@ class TestTestCLI:
         assert all("ckpt_iter_" in os.path.basename(p) for p in paths2)
 
 
+class TestCompilationCache:
+    def test_eval_populates_persistent_cache(self, workspace, monkeypatch, tmp_path):
+        """CLI entry points enable the on-disk XLA executable cache (the
+        validation scripts run one process per checkpoint — without this
+        every invocation recompiles the same fused programs)."""
+        monkeypatch.chdir(workspace)
+        cache = tmp_path / "xla_cache"
+        monkeypatch.setenv("CROSSLOC_COMPILATION_CACHE", str(cache))
+        train_cli.main(common_train_args(workspace, "coord", [
+            "--uncertainty", "MLE", "--session", "cache"]))
+        out = (workspace / "output" /
+               "urbanscape-coord-scache-unc-MLE-e1-lr0.0002-sim_only-sc1.00-tiny")
+        test_cli.main([
+            "urbanscape", "--task", "coord", "--uncertainty", "MLE", "--tiny",
+            "--network_in", str(out / "model.net"),
+            "--section", "val_drone_real",
+            "--datasets_dir", str(workspace / "datasets"),
+            "--image_height", str(IMG_H), "--batch_size", "2",
+        ])
+        entries = list(cache.iterdir())
+        assert entries, "no executables written to the persistent cache"
+
+
 class TestFinetuneCLI:
     def test_mlr_finetune(self, workspace, monkeypatch, tmp_path):
         monkeypatch.chdir(workspace)

@@ -13,16 +13,47 @@ divided by that target.
 Prints exactly one JSON line.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from crossloc_tpu import models, ransac
-
 BASELINE_IMG_PER_SEC = 5000.0  # north-star target (BASELINE.json)
+
+_PROBE = (
+    "import jax, jax.numpy as jnp; import numpy as np; "
+    "x = jnp.ones((8, 8)); print(float(np.asarray(x @ x)[0, 0]))"
+)
+
+
+def wait_for_device(attempts=8, probe_timeout=240, retry_sleep=120):
+    """Gate the benchmark on a live backend, retrying through outages.
+
+    The tunneled TPU backend can wedge machine-wide (init hangs or
+    instant UNAVAILABLE — see CLAUDE.md); a hung benchmark stalls the
+    driver. Probe with a tiny matmul in a SUBPROCESS (a hung in-process
+    init cannot be recovered), retrying for ~20 minutes before giving up.
+    Returns True when a probe succeeds.
+    """
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                timeout=probe_timeout,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode == 0:
+                return True
+            note = (r.stderr or r.stdout).strip().splitlines()
+            note = note[-1][:160] if note else "no output"
+        except subprocess.TimeoutExpired:
+            note = f"probe timed out after {probe_timeout}s"
+        print(f"bench: device probe {i + 1}/{attempts} failed: {note}",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(retry_sleep)
+    return False
 
 
 def main():
@@ -31,6 +62,28 @@ def main():
     # metric name embeds the batch size
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    if not os.environ.get("CROSSLOC_BENCH_NO_PROBE") and not wait_for_device():
+        # one honest JSON line rather than an indefinite hang: the backend
+        # never came up, so there is no throughput to report
+        print(
+            json.dumps(
+                {
+                    "metric": "image_to_pose_throughput_480x720_b{}".format(batch),
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": "device backend unavailable after retries",
+                }
+            )
+        )
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crossloc_tpu import models, ransac
 
     model = models.build_network(
         "coord", uncertainty="MLE", mean=[-29.34, 184.17, 91.96],
@@ -79,4 +132,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -11,6 +11,7 @@ import argparse
 import logging
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -236,7 +237,12 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         state = parallel.replicate(mesh, state)
         logging.info("Data-parallel training over %d devices", opt.num_devices)
 
-    @jax.jit
+    # donate the train state (params + Adam moments, ~3x params of HBM):
+    # the old state is dead after each call, so XLA can update in place
+    # instead of copying. CPU ignores donation with a warning, so gate it.
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
     def fused_step(state: TrainState, images, labels, poses, focal, key):
         images, labels, poses, focal, pp_shift = augment_batch(
             images, labels, poses, focal, key, aug_cfg, semantics=opt.task == "semantics"
@@ -253,7 +259,7 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
 
         dsac_step = make_dsac_train_step(model, tx)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=donate)
         def fused_e2e_step(state: TrainState, images, labels, poses, focal, key):
             k_aug, k_solver = jax.random.split(key)
             # same device-side augmentation; the solver camera keeps a

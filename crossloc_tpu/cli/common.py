@@ -155,7 +155,8 @@ def build_network(
     import jax.numpy as jnp
 
     if not ("urbanscape" in scene.lower() or "naturescape" in scene.lower()):
-        return models.VanillaNetwork(tiny=tiny, mean_init=list(np.asarray(mean)))
+        return models.VanillaNetwork(tiny=tiny, mean_init=list(np.asarray(mean)),
+                                     dtype=dtype or jnp.float32)
     return models.build_network(
         task,
         uncertainty=uncertainty,

@@ -46,6 +46,7 @@ def get_output_path(opt, project_dir=None):
         real_data_chunk=opt.real_data_chunk, sim_data_chunk=opt.sim_data_chunk,
         real_data_domain=opt.real_data_domain, real_only=opt.real_only,
         tiny=opt.tiny, network_in=opt.network_in, debug=opt.debug,
+        bf16=getattr(opt, "bf16", False),
     )
     project_dir = project_dir or os.getcwd()
     return os.path.abspath(os.path.join(project_dir, "output", name))
@@ -77,10 +78,13 @@ def main(argv=None):
     from ..data import get_label_mean
 
     mean = get_label_mean(opt.scene, opt.task)
+    import jax.numpy as jnp
+
     model = common.build_network(
         opt.scene, opt.task, opt.tiny, opt.grayscale, opt.uncertainty, opt.fullsize,
         mean, num_mlr=num_mlr,
         num_unfrozen_encoder=1 if opt.unfreeze_coord_encoder else 0,
+        dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else None,
     )
     logging.info("%d network weights to load, flag_unfreeze_coord_encoder: %s",
                  num_mlr, opt.unfreeze_coord_encoder)

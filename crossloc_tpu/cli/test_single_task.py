@@ -58,6 +58,10 @@ def config_parser():
     parser.add_argument("--datasets_dir", type=str, default="./datasets")
     parser.add_argument("--image_height", type=int, default=480,
                         help="standard input image height (framework extension)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 conv compute for the network forward "
+                             "(framework extension; the pose solver keeps "
+                             "full f32). Matches the bench.py configuration.")
     parser.add_argument("--num_devices", type=int, default=1,
                         help="data-parallel evaluation over a device mesh "
                              "(framework extension; batches are padded to a "
@@ -166,11 +170,15 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
     nodata_value = get_nodata_value(scene)
     num_enc = common.infer_num_encoders(network_path)
     # space-to-depth stems: exact re-expression of the same params
-    # (parity-tested), ~3% faster inference on TPU (BENCH_NOTES round 3)
+    # (parity-tested), ~3% faster inference on TPU (BENCH_NOTES round 3).
+    # --bf16 runs conv compute in bfloat16 (params/GN stats/outputs stay
+    # f32; the solver keeps its full-f32 precision guard) — the bench.py
+    # headline configuration, reachable from this CLI.
     model = common.build_network(
         scene, task, tiny, grayscale, uncertainty, fullsize,
         np.zeros(models.task_channels(task), np.float32), num_mlr=num_enc,
         stem_s2d=True,
+        dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else None,
     )
     params = compat.load_net(network_path, model)
     print("Successfully loaded %s." % network_path)

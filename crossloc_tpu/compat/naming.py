@@ -28,14 +28,16 @@ def train_output_name(
     network_in: Optional[str] = None,
     debug: bool = False,
     e2e: bool = False,
+    bf16: bool = False,
 ) -> str:
     """`get_output_path` grammar of `train_single_task.py:138-186`.
 
-    `e2e` extends the grammar (framework extension): DSAC end-to-end
-    pose-loss training (`--e2e_pose_loss`) adds an "-e2e" token after the
+    `e2e` and `bf16` extend the grammar (framework extensions): DSAC
+    end-to-end pose-loss training (`--e2e_pose_loss`) adds an "-e2e" token
+    and bf16 mixed-precision training (`--bf16`) a "-bf16" token after the
     uncertainty token. `read_meta_info`'s substring decoding is unaffected;
     `utils/io.py::get_epoch_from_dirname` anchors the epoch token on its
-    "-lr" suffix so "-e2e" does not parse as an epoch.
+    "-lr" suffix so neither token parses as an epoch.
     """
     name = f"{scene}-{task}"
     if session:
@@ -45,6 +47,8 @@ def train_output_name(
     name += "-no_unc" if uncertainty is None else f"-unc-{uncertainty}"
     if e2e:
         name += "-e2e"
+    if bf16:
+        name += "-bf16"
     if fullsize:
         name += "-fullsize"
     lr_fmt = "-e{:d}-lr{:.4f}" if learning_rate >= 1e-4 else "-e{:d}-lr{:.6f}"
@@ -90,8 +94,12 @@ def finetune_output_name(
     tiny: bool = False,
     network_in: Optional[str] = None,
     debug: bool = False,
+    bf16: bool = False,
 ) -> str:
-    """`get_output_path` grammar of `finetune_decoder_single_task.py:159-221`."""
+    """`get_output_path` grammar of `finetune_decoder_single_task.py:159-221`.
+
+    `bf16` extends the grammar like `train_output_name` (framework
+    extension)."""
     name = f"{scene}-{task}"
     name += "-decoder_" + "_".join(encoders)
     if reuse_coord_encoder:
@@ -105,6 +113,8 @@ def finetune_output_name(
     if grayscale:
         name += "-gray"
     name += "-no_unc" if uncertainty is None else f"-unc-{uncertainty}"
+    if bf16:
+        name += "-bf16"
     if fullsize:
         name += "-fullsize"
     lr_fmt = "-e{:d}-lr{:.4f}" if learning_rate >= 1e-4 else "-e{:d}-lr{:.6f}"

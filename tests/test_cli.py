@@ -620,3 +620,36 @@ class TestSearchDir:
         ])
         results = list((search_root / folder).glob("results_*task_coord.txt"))
         assert results
+
+
+class TestBF16CLI:
+    def test_bf16_train_and_eval(self, workspace, monkeypatch):
+        """--bf16 mixed precision through the full CLI round trip: the
+        naming grammar gains a '-bf16' token, the snapshot is a normal
+        torch-format .net (f32 params), and the eval CLI localizes with
+        bf16 conv compute (bench.py's configuration)."""
+        monkeypatch.chdir(workspace)
+        train_cli.main(common_train_args(
+            workspace, "coord", ["--uncertainty", "MLE", "--bf16"]))
+        out = (workspace / "output" /
+               "urbanscape-coord-unc-MLE-bf16-e1-lr0.0002-sim_only-sc1.00-tiny")
+        assert (out / "FLAG_training_done.nodata").exists()
+
+        import torch
+
+        state = torch.load(str(out / "model.net"), map_location="cpu",
+                           weights_only=False)
+        assert state["decoder.fc3.weight"].dtype == torch.float32
+
+        test_cli.main([
+            "urbanscape", "--task", "coord", "--uncertainty", "MLE", "--tiny",
+            "--network_in", str(out / "model.net"),
+            "--section", "val_drone_real",
+            "--datasets_dir", str(workspace / "datasets"),
+            "--image_height", str(IMG_H),
+            "--batch_size", "2",
+            "--bf16",
+        ])
+        results = list(out.glob("results_*task_coord.txt"))
+        assert results and re.search(
+            r"Median Error:\s+\d+.\d+ deg, \d+.\d+ m", results[0].read_text())

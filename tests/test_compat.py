@@ -215,3 +215,32 @@ class TestNaming:
         scene, gray, task, sections, tiny, fullsize, unc = compat.read_meta_info(name2)
         assert scene == "naturescape" and task == "normal" and tiny
         assert sections == ["val_drone_sim", "val_drone_real"]
+
+    def test_bf16_token_grammar(self, tmp_path):
+        """The '-bf16' mixed-precision token sits between the uncertainty
+        and epoch tokens, round-trips through read_meta_info, and does not
+        confuse the epoch regex."""
+        from crossloc_tpu.utils.io import get_epoch_from_dirname
+
+        name = compat.train_output_name(
+            "urbanscape", "coord", uncertainty="MLE", epochs=150,
+            learning_rate=2e-4, real_data_chunk=0.0, sim_data_chunk=1.0,
+            bf16=True,
+        )
+        assert name == "urbanscape-coord-unc-MLE-bf16-e150-lr0.0002-sim_only-sc1.00"
+        assert get_epoch_from_dirname(name) == 150
+        scene, gray, task, sections, tiny, fullsize, unc = compat.read_meta_info(name)
+        assert scene == "urbanscape" and task == "coord" and unc == "MLE"
+
+        # combined with -e2e, and in the finetune grammar
+        both = compat.train_output_name(
+            "urbanscape", "coord", uncertainty="MLE", epochs=2,
+            learning_rate=2e-4, real_data_chunk=0.0, sim_data_chunk=1.0,
+            e2e=True, bf16=True,
+        )
+        assert "-e2e-bf16-e2-lr" in both and get_epoch_from_dirname(both) == 2
+        ft = compat.finetune_output_name(
+            "urbanscape", "coord", ["coord", "depth"], uncertainty="MLE",
+            real_data_chunk=1.0, bf16=True,
+        )
+        assert "-unc-MLE-bf16-e" in ft

@@ -211,3 +211,39 @@ class TestStemS2D:
         g = jax.grad(loss)(params)
         k1 = g["params"]["encoder"]["stem1"]["conv"]["kernel"]
         assert float(jnp.max(jnp.abs(k1))) > 0.0
+
+
+class TestBF16Compute:
+    """Accuracy gate for the `--bf16` CLI flag (bench.py's configuration):
+    conv compute in bfloat16, params / GroupNorm statistics / outputs f32."""
+
+    def _deviation(self, rng, tiny, hw=(96, 144)):
+        mean = [-29.34, 184.17, 91.96]  # urbanscape coord scale (means.py)
+        x = jnp.asarray(rng.normal(size=(2, *hw, 3)), jnp.float32)
+        m32 = models.build_network("coord", uncertainty="MLE", tiny=tiny,
+                                   mean=mean, dtype=jnp.float32)
+        m16 = models.build_network("coord", uncertainty="MLE", tiny=tiny,
+                                   mean=mean, dtype=jnp.bfloat16)
+        params = m32.init(jax.random.PRNGKey(0), x)  # same f32 params
+        y32 = np.asarray(m32.apply(params, x))
+        y16 = np.asarray(m16.apply(params, x))
+        assert y16.dtype == np.float32  # decoder casts outputs back to f32
+        return y32, y16
+
+    def test_bf16_forward_close_to_f32(self, rng):
+        y32, y16 = self._deviation(rng, tiny=True)
+        c32, c16 = y32[..., :3], y16[..., :3]
+        # coord deviation must be noise relative to the output spread
+        # (measured 0.06% on this config; solver-side prediction noise on
+        # real nets is meters, vs centimeters here)
+        rel = np.abs(c32 - c16).max() / (c32.std() + 1e-9)
+        assert rel < 0.02, rel
+        # uncertainty channel: multiplicative deviation only
+        dlog = np.abs(np.log(y16[..., 3] + 1e-12) - np.log(y32[..., 3] + 1e-12))
+        assert dlog.max() < 0.2, dlog.max()
+
+    def test_bf16_forward_close_to_f32_standard(self, rng):
+        y32, y16 = self._deviation(rng, tiny=False, hw=(64, 96))
+        c32, c16 = y32[..., :3], y16[..., :3]
+        rel = np.abs(c32 - c16).max() / (c32.std() + 1e-9)
+        assert rel < 0.02, rel

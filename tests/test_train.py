@@ -435,3 +435,64 @@ class TestDistributed:
                 shapes.append([b["idx"].shape for b in loader])
             assert shapes[0] == shapes[1] == shapes[2], \
                 f"drop_last={drop_last}: {shapes}"
+
+
+class TestBF16Training:
+    @pytest.mark.slow
+    def test_bf16_convergence_matches_f32(self, rng):
+        """Accuracy gate for `--bf16` mixed-precision TRAINING: identical
+        tiny-net training (same init, data, optimizer, step count) with
+        bf16 vs f32 conv compute must land the held-out coord loss in the
+        same regime. Params, GN statistics, and the loss itself are f32 in
+        both arms; only the conv compute dtype differs."""
+        from crossloc_tpu import data, losses
+
+        B, Ht, Wt, focal = 2, 48, 64, 60.0
+        samples = [data.synth_sample(rng, img_h=Ht, img_w=Wt, focal=focal)
+                   for _ in range(B)]
+        images = jnp.asarray(np.stack([s["image"] for s in samples]))
+        labels = jnp.asarray(np.stack([s["coord"] for s in samples]))
+        poses = jnp.asarray(np.stack([s["pose"] for s in samples]), jnp.float32)
+        from crossloc_tpu.data.augment import normalize_images
+
+        images = normalize_images(images)
+        K = jnp.asarray(np.asarray(
+            [[focal, 0, Wt / 2], [0, focal, Ht / 2], [0, 0, 1]], np.float32))
+        mean = list(np.mean(np.asarray(labels), axis=(0, 1, 2)))
+
+        eval_model = models.build_network("coord", tiny=True, mean=mean,
+                                          dtype=jnp.float32)
+
+        def val_loss(params):
+            # held-out loss evaluated at full f32 for BOTH arms (params are
+            # f32 either way; only the training compute dtype differs)
+            preds = eval_model.apply({"params": params}, images)
+            loss, _ = losses.scene_coords_loss(
+                preds[..., 0:3], labels, poses, K)
+            return float(loss)
+
+        def train_arm(dtype):
+            model = models.build_network("coord", tiny=True, mean=mean,
+                                         dtype=dtype)
+            tx = train.make_optimizer(2e-3)
+            # identical f32 init in both arms (params are dtype-independent)
+            state = train.create_train_state(
+                model, tx, jnp.zeros((B, Ht, Wt, 3)),
+                rng=jax.random.PRNGKey(7))
+            init = val_loss(state.params)
+            step = jax.jit(train.make_train_step(model, tx, "coord"))
+            batch = train.TrainBatch(images, poses, labels, jnp.float32(focal))
+            for _ in range(300):
+                state, _ = step(state, batch)
+            return val_loss(state.params), init
+
+        f32, init = train_arm(jnp.float32)
+        bf16, init2 = train_arm(jnp.bfloat16)
+        assert init == init2  # same init params, f32 eval path
+        print(f"\nbf16 convergence A/B: init={init:.2f} f32={f32:.2f} "
+              f"bf16={bf16:.2f} ratio={bf16 / f32:.3f}")
+        # both arms must genuinely train and land in the same regime
+        # (thresholds mirror test_aug_divergence::test_convergence_ab)
+        assert f32 < 0.88 * init, (f32, init)
+        assert bf16 < 0.88 * init, (bf16, init)
+        assert 0.85 < bf16 / f32 < 1.18, (bf16, f32, init)

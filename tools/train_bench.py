@@ -8,6 +8,7 @@ device sync (see utils/profiling.device_sync for why).
 A/B knobs mirror the perf probes recorded in BENCH_NOTES.md:
   --no-s2d      standard stems instead of space-to-depth
   --no-donate   disable state buffer donation
+  --dtype f32   full-f32 conv compute (the CLI default; bf16 = --bf16)
 Usage: python tools/train_bench.py [--batches 12,64] [--iters 10]
 """
 from __future__ import annotations
@@ -30,6 +31,8 @@ def main():
     ap.add_argument("--batches", default="12,64")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-s2d", dest="s2d", action="store_false")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="conv compute dtype (CLI: --bf16 vs default f32)")
     ap.add_argument("--no-donate", dest="donate", action="store_false")
     ap.add_argument("--no-bf16-gather", dest="bf16_gather", action="store_false",
                     help="full-f32 image resample (the CPU-test arithmetic)")
@@ -50,7 +53,8 @@ def main():
 
     model = models.build_network(
         "coord", uncertainty="MLE", mean=[-29.34, 184.17, 91.96],
-        dtype=jnp.bfloat16, stem_s2d=args.s2d,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        stem_s2d=args.s2d,
     )
     tx = make_optimizer(2e-4, 100, no_lr_scheduling=True)
     aug_cfg = AugmentConfig(grayscale=False, nodata_value=-1.0,

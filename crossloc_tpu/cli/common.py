@@ -42,8 +42,17 @@ def enable_compilation_cache() -> None:
         return
     try:
         os.makedirs(cache, exist_ok=True)
+        prev = jax.config.jax_compilation_cache_dir
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if prev is not None and prev != cache:
+            # the on-disk cache object is created once and then pinned
+            # (jax 0.9: jax_compilation_cache_dir updates after first use
+            # are silently ignored) — reset so in-process dir changes
+            # (tests, long-lived drivers) actually take effect
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
     except Exception as e:  # cache is an optimization, never a requirement
         logging.info("Compilation cache disabled: %s", e)
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 from typing import List, Optional, Union
 
@@ -66,6 +67,14 @@ def config_parser():
                         help="data-parallel evaluation over a device mesh "
                              "(framework extension; batches are padded to a "
                              "multiple of this and sharded on the batch axis)")
+    parser.add_argument("--ransac_cfg", type=str, default="{}",
+                        help="RansacConfig field overrides as JSON, e.g. "
+                             "'{\"refine_top_k\": 4, \"eval_selection\": "
+                             "\"hard\"}' — reproduces the measured-but-"
+                             "defaulted-off solver experiments without code "
+                             "edits (framework extension; same contract as "
+                             "tools/plugin_ab.py --cfg). Applied on top of "
+                             "the flag-derived config.")
     return parser
 
 
@@ -223,6 +232,13 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
         max_pixel_error=opt.maxpixelerror,
         subsample=1 if fullsize else 8,
     )
+    overrides = json.loads(getattr(opt, "ransac_cfg", None) or "{}")
+    if overrides:
+        unknown = set(overrides) - set(cfg._fields)
+        if unknown:
+            raise ValueError(f"unknown RansacConfig fields in --ransac_cfg: {sorted(unknown)}")
+        cfg = cfg._replace(**overrides)
+        print("RansacConfig overrides: %s" % overrides)
     ntc = model.num_task_channel
 
     @jax.jit
@@ -357,16 +373,20 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
 
         print("{:s} Evaluating over section {:s} is done!{:s}".format("*" * 20, this_section, "*" * 20))
         if task == "coord":
-            evaluation.scene_coords_report(
+            eval_str = evaluation.scene_coords_report(
                 t_err_ls, r_err_ls, est_xyz_ls, coords_error_ls, testing_log,
                 network_path, this_section, file_name_ls,
             )
         elif task == "depth":
-            evaluation.depth_report(depth_ar_ls, depth_rms_ls, testing_log, this_section)
+            eval_str = evaluation.depth_report(depth_ar_ls, depth_rms_ls, testing_log, this_section)
         elif task == "normal":
-            evaluation.normal_report(normal_err_ls, testing_log, this_section)
+            eval_str = evaluation.normal_report(normal_err_ls, testing_log, this_section)
         elif task == "semantics":
-            evaluation.semantic_report(acc_ls, miou_ls, fwiou_ls, testing_log, this_section)
+            eval_str = evaluation.semantic_report(acc_ls, miou_ls, fwiou_ls, testing_log, this_section)
+        # operator-visible metric block, byte-identical to the file block
+        # (the reference prints every section's summary to the console,
+        # `utils/evaluation.py:231,287,332`)
+        print(eval_str)
 
     print("Network testing finished. Please find the log at {:s}".format(testing_log))
     return testing_log

@@ -196,8 +196,14 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         model_path = os.path.join(output_dir, "model.net")
     save_period = 1 if opt.task == "semantics" else 5
 
+    # --fullsize trains against full-resolution labels: the reference flips
+    # OUTPUT_SUBSAMPLE 8->1 globally for ANY task (`dataloader/dataloader.py:
+    # 61,165`) and the loss grid follows (`utils/learning.py:29-32`);
+    # semantics is the exception (its labels are always full-res via DUC and
+    # its scene dirs carry no '-fullsize' suffix, `utils/learning.py:197-200`)
+    subsample = 1 if (opt.fullsize and opt.task != "semantics") else 8
     aug_cfg = AugmentConfig(
-        grayscale=opt.grayscale, nodata_value=nodata_value,
+        grayscale=opt.grayscale, nodata_value=nodata_value, subsample=subsample,
         # bf16 corner gather on TPU only (f32 accumulation; ~32% faster
         # resample — data/augment.py); CPU runs keep full-f32 sampling so
         # the CPU test suite exercises the reference-parity arithmetic
@@ -206,6 +212,7 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
     coord_cfg = CoordLossConfig(
         min_depth=opt.mindepth, soft_clamp=opt.softclamp, hard_clamp=opt.hardclamp,
         init_tolerance=opt.inittolerance, nodata_value=nodata_value,
+        subsample=subsample,
     )
     depth_cfg = DepthLossConfig(
         min_depth=opt.mindepth, hard_clamp=opt.hardclamp, nodata_value=nodata_value
@@ -264,21 +271,22 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
     if getattr(opt, "e2e_pose_loss", False):
         from ..train import make_dsac_train_step
 
-        dsac_step = make_dsac_train_step(model, tx)
+        dsac_step = make_dsac_train_step(model, tx, subsample=subsample)
 
         @partial(jax.jit, donate_argnums=donate)
         def fused_e2e_step(state: TrainState, images, labels, poses, focal, key):
             k_aug, k_solver = jax.random.split(key)
-            # same device-side augmentation; the solver camera keeps a
-            # central principal point (the crop's pp shift is a few pixels —
-            # negligible against the pose-loss soft clamp; the proxy loss
-            # path does honor it via TrainBatch.pp_shift)
-            images, labels, poses, focal, _ = augment_batch(
+            # same device-side augmentation; the crop window's principal-
+            # point shift (up to ~(W-1)/2·(s-1) ≈ 120 px at s=1.5) rides
+            # TrainBatch.pp_shift into the solver camera, exactly like the
+            # proxy loss path (train/step.py)
+            images, labels, poses, focal, pp_shift = augment_batch(
                 images, labels, poses, focal, k_aug, aug_cfg
             )
             state, metrics = dsac_step(
                 state,
-                TrainBatch(images=images, poses=poses, labels=labels, focal=focal),
+                TrainBatch(images=images, poses=poses, labels=labels, focal=focal,
+                           pp_shift=pp_shift),
                 k_solver,
             )
             # valid_rate has no e2e analog (no per-pixel validity gate); keep

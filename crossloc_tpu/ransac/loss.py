@@ -51,13 +51,19 @@ def expected_pose_loss(
     key,
     cfg: RansacConfig = RansacConfig(),
     loss_cfg: PoseLossConfig = PoseLossConfig(),
+    pp_shift=None,
 ):
     """End-to-end DSAC training objective: E_h~p [ loss(refine(h), gt) ].
 
     scene_coords [B, Hs, Ws, 3] (differentiable input), gt_poses [B, 4, 4]
-    cam-to-world. All hypotheses are refined (the reference refines every
-    hypothesis with prob > 1e-3, `dsacstar_derivative.h:36`; static shapes
-    make "all" the TPU-native choice), each with `train_refine_steps`.
+    cam-to-world; pp_shift [2] (or [B, 2]) offsets the solver camera's
+    principal point — REQUIRED when training on augmented batches whose
+    zoom-in crop window moved it (up to ~(W-1)/2·(s-1) input pixels,
+    data/augment.py:241-247; the solver would otherwise be systematically
+    biased on every zoom-in batch). All hypotheses are refined (the
+    reference refines every hypothesis with prob > 1e-3,
+    `dsacstar_derivative.h:36`; static shapes make "all" the TPU-native
+    choice), each with `train_refine_steps`.
 
     Returns (expected_loss scalar, aux dict). Gradients flow through both
     the score path (softmax weights) and the hypothesis path (unrolled GN),
@@ -69,6 +75,10 @@ def expected_pose_loss(
     img_h, img_w = image_hw
     focal = jnp.broadcast_to(jnp.asarray(focal_length, scene_coords.dtype), (B,))
     cams = intrinsics(focal, img_w, img_h, dtype=scene_coords.dtype)
+    if pp_shift is not None:
+        from .solver import apply_pp_shift
+
+        cams = apply_pp_shift(cams, pp_shift, B, scene_coords.dtype)
     coords = scene_coords.reshape(B, N, 3)
     keys = jax.random.split(key, B)
 

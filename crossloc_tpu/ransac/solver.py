@@ -285,6 +285,16 @@ def _solve_single(coords, grid, cam_mat, key, cfg: RansacConfig, training: bool)
     )
 
 
+def apply_pp_shift(cams, pp_shift, batch: int, dtype):
+    """Offset the principal point of [B, 3, 3] camera matrices by pp_shift
+    ([2] shared or [B, 2] per-image) — the augmentation's zoom-in crop window
+    moves the principal point (data/augment.py::pp_shift_for_translation)."""
+    shift = jnp.broadcast_to(jnp.asarray(pp_shift, dtype).reshape(-1, 2)
+                             if jnp.ndim(pp_shift) > 1
+                             else jnp.asarray(pp_shift, dtype), (batch, 2))
+    return cams.at[:, 0, 2].add(shift[:, 0]).at[:, 1, 2].add(shift[:, 1])
+
+
 def solve_batch(
     scene_coords,
     focal_length,
@@ -292,12 +302,14 @@ def solve_batch(
     key,
     cfg: RansacConfig = RansacConfig(),
     training: bool = False,
+    pp_shift=None,
 ) -> RansacResult:
     """Estimate camera poses for a batch of scene-coordinate maps.
 
     scene_coords: [B, Hs, Ws, 3] predicted world coordinates (NHWC).
     focal_length: scalar or [B]; image_hw: (height, width) of the RGB frame
-    (principal point assumed central, `utils/evaluation.py:168-170`).
+    (principal point central, `utils/evaluation.py:168-170`, plus the
+    optional pp_shift [2] or [B, 2] offset from the augmentation crop).
     Everything jits; gradients flow to scene_coords (score + refinement
     paths), replacing `dsacstar_derivative.h` entirely.
 
@@ -314,6 +326,8 @@ def solve_batch(
     img_h, img_w = image_hw
     focal = jnp.broadcast_to(jnp.asarray(focal_length, scene_coords.dtype), (B,))
     cams = intrinsics(focal, img_w, img_h, dtype=scene_coords.dtype)  # [B, 3, 3]
+    if pp_shift is not None:
+        cams = apply_pp_shift(cams, pp_shift, B, scene_coords.dtype)
     coords = scene_coords.reshape(B, N, 3)
     keys = jax.random.split(key, B)
 

@@ -25,11 +25,15 @@ def make_dsac_train_step(
     tx,
     ransac_cfg: Optional[RansacConfig] = None,
     loss_cfg: Optional[PoseLossConfig] = None,
+    subsample: int = 8,
 ):
     """(state, batch, key) -> (state, metrics) minimizing the expected pose
     loss end to end. The default solver config is downsized for training
-    cost (fewer hypotheses / retry rounds than eval, like DSAC* practice)."""
-    cfg = ransac_cfg or RansacConfig(hypotheses=16, sample_rounds=8, train_refine_steps=2)
+    cost (fewer hypotheses / retry rounds than eval, like DSAC* practice);
+    `subsample` must match the model's output grid (1 under --fullsize)."""
+    cfg = ransac_cfg or RansacConfig(
+        hypotheses=16, sample_rounds=8, train_refine_steps=2, subsample=subsample
+    )
     lcfg = loss_cfg or PoseLossConfig()
     ntc = model.num_task_channel
 
@@ -39,7 +43,8 @@ def make_dsac_train_step(
         img_h, img_w = batch.images.shape[1], batch.images.shape[2]
         focal = jnp.reshape(batch.focal, (-1,))[0]
         loss, aux = expected_pose_loss(
-            coords, batch.poses, focal, (img_h, img_w), key, cfg, lcfg
+            coords, batch.poses, focal, (img_h, img_w), key, cfg, lcfg,
+            pp_shift=batch.pp_shift,
         )
         return loss, aux
 

@@ -10,8 +10,12 @@
 #   -> encoder_finetune      (coord, pairwise sim-to-real)
 #   -> decoder_finetune_plus_semantics  (4 MLR encoders)
 #   -> validate_decoder_finetune + select_ckpt      (val_drone_real sweep)
+#   -> framework-extension arms: --e2e_pose_loss, mid-training kill +
+#      exact full-state resume (--ckpt_backend msgpack), out-of-place
+#      real-only domain pass (encoder_pretrain_real_only.sh analog of
+#      decoder_finetune_real_only.sh:167)
 #
-# Tiny config (~15 min CPU): 96x144 images, --tiny nets, 1 epoch each.
+# Tiny config (~20 min CPU): 96x144 images, --tiny nets, 1 epoch each.
 # Usage: bash examples/dress_rehearsal.sh [workdir]   (default: mktemp -d)
 set -euo pipefail
 
@@ -91,4 +95,54 @@ for f in \
   "$DEC_DIR"/results_overall.txt; do
   ls $f >/dev/null || { echo "MISSING: $f"; exit 1; }
 done
+
+echo "== 8. framework-extension arms"
+
+echo "== 8a. DSAC end-to-end pose-loss arm (--e2e_pose_loss)"
+EXTRA_ARGS="$TRAIN_EXTRA --e2e_pose_loss --e2e_warmup_epochs 0" \
+  bash "$REPO/script_clean_training/encoder_pretrain.sh" urbanscape coord TINY 1.0 in_place 0.0 NONE 0
+E2E_OUT=$WS/output/urbanscape-coord-sclean_training-no_unc-e2e-e1-lr0.0002-sim_only-sc1.00-tiny
+ls "$E2E_OUT/FLAG_training_done.nodata" >/dev/null || { echo "MISSING e2e FLAG"; exit 1; }
+grep -q "Total loss" "$E2E_OUT/output.log" || { echo "e2e arm logged no loss"; exit 1; }
+
+echo "== 8b. mid-training kill + exact full-state resume (--ckpt_backend msgpack)"
+RESUME_ARGS="--epochs 3 --batch_size 2 --datasets_dir $WS/datasets --image_height 96 \
+  --ckpt_backend msgpack --session resume_arm"
+RES_OUT=$WS/output/urbanscape-coord-sresume_arm-no_unc-e3-lr0.0002-sim_only-sc1.00-tiny
+# kill as soon as the first epoch's .state lands (direct PIDs only: the
+# python CLI is a child of the backgrounded harness bash — no pattern kills)
+env EXTRA_ARGS="$RESUME_ARGS" \
+  bash "$REPO/script_clean_training/encoder_pretrain.sh" urbanscape coord TINY 1.0 in_place 0.0 NONE 0 \
+  > "$WS/resume_arm_phase1.log" 2>&1 &
+KPID=$!
+for i in $(seq 1 300); do
+  ls "$RES_OUT"/state_*.state >/dev/null 2>&1 && break
+  kill -0 $KPID 2>/dev/null || break   # finished before we could kill: benign
+  sleep 1
+done
+for c in $(ps -o pid= --ppid $KPID 2>/dev/null); do kill -TERM "$c" 2>/dev/null || true; done
+kill -TERM $KPID 2>/dev/null || true
+wait $KPID 2>/dev/null || true
+ls "$RES_OUT"/state_*.state >/dev/null || { echo "no .state checkpoint before kill"; exit 1; }
+# resume: SAME harness command (encoder_pretrain.sh always passes --auto_resume)
+EXTRA_ARGS="$RESUME_ARGS" \
+  bash "$REPO/script_clean_training/encoder_pretrain.sh" urbanscape coord TINY 1.0 in_place 0.0 NONE 0
+grep -q "Restored full train state" "$RES_OUT/output.log" \
+  || { echo "resume did not restore the full train state"; exit 1; }
+ls "$RES_OUT/FLAG_training_done.nodata" >/dev/null || { echo "MISSING resume FLAG"; exit 1; }
+
+echo "== 8c. out-of-place real-only domain pass (encoder_pretrain_real_only)"
+python3 - <<PY
+from crossloc_tpu import data
+for sec, seed in [("train_oop_drone_real", 5), ("train_oop_drone_sim", 6),
+                  ("val_oop_drone_real", 7)]:
+    data.write_fake_dataset(f"datasets/urbanscape/{sec}", n=4,
+                            img_h=96, img_w=144, focal=120.0, seed=seed)
+print("oop sections ready")
+PY
+EXTRA_ARGS="$TRAIN_EXTRA" \
+  bash "$REPO/script_clean_training/encoder_pretrain_real_only.sh" urbanscape coord TINY 0.0 out_of_place 1.0 NONE 0
+OOP_OUT=$WS/output/urbanscape-coord-sclean_training-no_unc-e1-lr0.0002-real_only-oop-rc1.00-tiny
+ls "$OOP_OUT/FLAG_training_done.nodata" >/dev/null || { echo "MISSING oop FLAG"; exit 1; }
+
 echo "== dress rehearsal PASSED ($WS)"

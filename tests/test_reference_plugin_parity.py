@@ -61,11 +61,19 @@ def _pose_err(est4, gt4):
 class TestReferencePluginParity:
     def test_forward_rgb_median_parity(self, dsacstar_mod):
         """Identical noisy GT-oracle inputs through both solvers; our medians
-        must be within 1.25x of the plugin's (the powered 600-frame A/B in
-        PARITY.md measures ours at 0.84x on translation / 1.00x on rotation;
-        tools/plugin_ab.py regenerates it) and both must actually localize
-        (sub-meter at 100 m scene depth). Ours solves all frames in ONE
-        batched call — the TPU-native shape of the pipeline."""
+        must be within the 32-frame sampling envelope of the plugin's, and
+        both must actually localize (sub-meter at 100 m scene depth). Ours
+        solves all frames in ONE batched call — the TPU-native shape of the
+        pipeline.
+
+        Tolerance derivation (round 4, tools/plugin_ab.py --frames 32
+        --seeds 10 --platform cpu): per-seed ours/plugin median ratios are
+        t: mean 0.814, sigma 0.079 -> mean+3sigma = 1.05;
+        r: mean 0.776, sigma 0.104 -> mean+3sigma = 1.09.
+        Guards of 1.06x/1.10x therefore pass any draw consistent with the
+        measured population (this fixed-seed test sits at 0.89x/0.71x) while
+        a real solver regression past the plugin cannot land green — the old
+        1.25x guard allowed a 56% blind spot (VERDICT r3 #8)."""
         import torch
 
         n = 32
@@ -96,8 +104,8 @@ class TestReferencePluginParity:
         print(f"\nreference plugin: median t={mt_ref:.3f} m r={mr_ref:.3f} deg")
         print(f"this framework:   median t={mt_ours:.3f} m r={mr_ours:.3f} deg")
         assert mt_ours < 1.0 and mt_ref < 1.0, (mt_ours, mt_ref)
-        assert mt_ours < 1.25 * mt_ref + 0.02, f"ours {mt_ours} vs ref {mt_ref}"
-        assert mr_ours < 1.25 * mr_ref + 0.02, f"ours {mr_ours} vs ref {mr_ref}"
+        assert mt_ours < 1.06 * mt_ref + 0.02, f"ours {mt_ours} vs ref {mt_ref}"
+        assert mr_ours < 1.10 * mr_ref + 0.02, f"ours {mr_ours} vs ref {mr_ref}"
 
     def test_forward_rgb_exact_coords(self, dsacstar_mod):
         """Exact scene coordinates: both solvers recover the pose almost

@@ -116,13 +116,15 @@ def config_directory(
     auto_resume: bool,
     epoch_plus: bool,
     default_network_in: Optional[str] = None,
-    overwrite: bool = True,
+    overwrite: Optional[bool] = None,
 ):
     """Resolve the output/checkpoint dirs and the weight to resume from.
 
     Returns (output_dir, ckpt_output_dir, network_to_load, auto_resume,
-    epoch_plus). `overwrite=True` replaces the reference's interactive
-    overwrite prompt (`utils/io.py:194`) for non-interactive use.
+    epoch_plus). `overwrite=None` keeps the reference's interactive
+    overwrite prompt (`utils/io.py:194`) when stdin is a TTY and falls
+    back to overwriting for non-interactive runs (the bash harness);
+    pass True/False to force either behavior.
     """
     output_dir = os.path.abspath(output_dir)
     ckpt_output_dir = (
@@ -170,6 +172,12 @@ def config_directory(
         os.makedirs(ckpt_output_dir, exist_ok=True)
     else:
         if os.path.exists(output_dir):
+            if overwrite is None:
+                if sys.stdin is not None and sys.stdin.isatty():
+                    key = input("Output directory already exists! Overwrite? (y/n)")
+                    overwrite = key.lower() == "y"
+                else:
+                    overwrite = True
             if overwrite:
                 shutil.rmtree(output_dir)
             os.makedirs(output_dir, exist_ok=True)

@@ -244,3 +244,59 @@ class TestNaming:
             real_data_chunk=1.0, bf16=True,
         )
         assert "-unc-MLE-bf16-e" in ft
+
+
+class TestConfigDirectoryOverwrite:
+    """The interactive overwrite prompt (reference utils/io.py:194).
+
+    On a TTY the reference asks 'Output directory already exists!
+    Overwrite? (y/n)' and rmtree's only on 'y'; non-interactive runs (the
+    bash harness, CI) cannot block on stdin, so overwrite=None falls back
+    to overwriting there.
+    """
+
+    @staticmethod
+    def _dirs(tmp_path):
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpts"
+        out.mkdir()
+        (out / "stale.txt").write_text("old run")
+        return str(out), str(ckpt)
+
+    def test_non_interactive_overwrites(self, tmp_path, monkeypatch):
+        from crossloc_tpu.utils import io as uio
+        out, ckpt = self._dirs(tmp_path)
+        monkeypatch.setattr("sys.stdin.isatty", lambda: False)
+        uio.config_directory(out, ckpt, auto_resume=False, epoch_plus=False)
+        assert not (tmp_path / "out" / "stale.txt").exists()
+
+    def test_tty_prompt_no_keeps_dir(self, tmp_path, monkeypatch):
+        from crossloc_tpu.utils import io as uio
+        out, ckpt = self._dirs(tmp_path)
+        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+        prompts = []
+        monkeypatch.setattr("builtins.input", lambda msg: prompts.append(msg) or "n")
+        uio.config_directory(out, ckpt, auto_resume=False, epoch_plus=False)
+        assert (tmp_path / "out" / "stale.txt").exists()
+        assert prompts == ["Output directory already exists! Overwrite? (y/n)"]
+
+    def test_tty_prompt_yes_wipes_dir(self, tmp_path, monkeypatch):
+        from crossloc_tpu.utils import io as uio
+        out, ckpt = self._dirs(tmp_path)
+        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+        monkeypatch.setattr("builtins.input", lambda msg: "y")
+        uio.config_directory(out, ckpt, auto_resume=False, epoch_plus=False)
+        assert not (tmp_path / "out" / "stale.txt").exists()
+
+    def test_explicit_false_never_prompts(self, tmp_path, monkeypatch):
+        from crossloc_tpu.utils import io as uio
+        out, ckpt = self._dirs(tmp_path)
+        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+        monkeypatch.setattr(
+            "builtins.input",
+            lambda msg: (_ for _ in ()).throw(AssertionError("prompted")),
+        )
+        uio.config_directory(
+            out, ckpt, auto_resume=False, epoch_plus=False, overwrite=False
+        )
+        assert (tmp_path / "out" / "stale.txt").exists()

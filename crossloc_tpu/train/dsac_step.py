@@ -31,6 +31,14 @@ def make_dsac_train_step(
     loss end to end. The default solver config is downsized for training
     cost (fewer hypotheses / retry rounds than eval, like DSAC* practice);
     `subsample` must match the model's output grid (1 under --fullsize)."""
+    if ransac_cfg is not None and ransac_cfg.subsample != subsample:
+        # a cfg whose grid disagrees with the model's output grid would
+        # silently project through the wrong pixel centers (the --fullsize
+        # class of bug): refuse instead
+        raise ValueError(
+            f"ransac_cfg.subsample={ransac_cfg.subsample} conflicts with "
+            f"subsample={subsample}; set the grid on the config you pass"
+        )
     cfg = ransac_cfg or RansacConfig(
         hypotheses=16, sample_rounds=8, train_refine_steps=2, subsample=subsample
     )

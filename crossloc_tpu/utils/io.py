@@ -110,6 +110,18 @@ def search_epoch_extension_model(output_dir: str) -> str:
     return best
 
 
+def _stdin_is_foreground_tty() -> bool:
+    """True only when stdin is a TTY AND this process is in the terminal's
+    foreground process group — a backgrounded job (`train ... &`) keeps the
+    controlling TTY on stdin, and calling input() from it stops the job
+    with SIGTTIN instead of prompting anyone."""
+    try:
+        fd = sys.stdin.fileno()
+        return sys.stdin.isatty() and os.tcgetpgrp(fd) == os.getpgrp()
+    except (AttributeError, OSError, ValueError):
+        return False
+
+
 def config_directory(
     output_dir: str,
     ckpt_dir: str,
@@ -117,14 +129,18 @@ def config_directory(
     epoch_plus: bool,
     default_network_in: Optional[str] = None,
     overwrite: Optional[bool] = None,
+    mutate_fs: bool = True,
 ):
     """Resolve the output/checkpoint dirs and the weight to resume from.
 
     Returns (output_dir, ckpt_output_dir, network_to_load, auto_resume,
     epoch_plus). `overwrite=None` keeps the reference's interactive
-    overwrite prompt (`utils/io.py:194`) when stdin is a TTY and falls
-    back to overwriting for non-interactive runs (the bash harness);
-    pass True/False to force either behavior.
+    overwrite prompt (`utils/io.py:194`) when stdin is a foreground TTY
+    and falls back to overwriting for non-interactive runs (the bash
+    harness); pass True/False to force either behavior. `mutate_fs=False`
+    computes paths and resume weights WITHOUT creating or wiping any
+    directory — multi-host non-main ranks must pass this, or concurrent
+    makedirs/rmtree on a shared filesystem race with the main rank.
     """
     output_dir = os.path.abspath(output_dir)
     ckpt_output_dir = (
@@ -154,7 +170,7 @@ def config_directory(
     if auto_resume or epoch_plus:
         if auto_resume:
             resume_dir = output_dir
-        else:
+        elif mutate_fs:
             os.makedirs(output_dir, exist_ok=True)
         if os.path.exists(os.path.join(resume_dir, "model_auto_resume.net")):
             existing = os.path.join(resume_dir, "model_auto_resume.net")
@@ -169,11 +185,12 @@ def config_directory(
         if not os.path.exists(existing):
             raise FileNotFoundError(f"Expected model weight at {existing} is not found!")
         network_to_load = os.path.abspath(existing)
-        os.makedirs(ckpt_output_dir, exist_ok=True)
-    else:
+        if mutate_fs:
+            os.makedirs(ckpt_output_dir, exist_ok=True)
+    elif mutate_fs:
         if os.path.exists(output_dir):
             if overwrite is None:
-                if sys.stdin is not None and sys.stdin.isatty():
+                if _stdin_is_foreground_tty():
                     key = input("Output directory already exists! Overwrite? (y/n)")
                     overwrite = key.lower() == "y"
                 else:
@@ -186,6 +203,8 @@ def config_directory(
         if os.path.exists(ckpt_output_dir):
             shutil.rmtree(ckpt_output_dir)
         os.makedirs(ckpt_output_dir, exist_ok=True)
+        network_to_load = None
+    else:
         network_to_load = None
 
     return output_dir, ckpt_output_dir, network_to_load, auto_resume, epoch_plus
@@ -206,10 +225,14 @@ def config_log(opt, output_dirname: str, file_logging: bool = True) -> Tuple[str
     Mutates `opt.network_in` / `opt.auto_resume` / `opt.epoch_plus` exactly
     like the reference (`utils/io.py:211-256`). `file_logging=False` keeps
     stdout-only logging (multi-host: only process 0 may write `output.log` —
-    the log is the resume/metrics store, and concurrent writers corrupt it).
+    the log is the resume/metrics store, and concurrent writers corrupt it)
+    and also disables directory creation/wiping (`mutate_fs`), since on a
+    shared filesystem non-main ranks racing makedirs/rmtree against the
+    main rank can delete its freshly created output dir.
     """
     output_dir, ckpt_output_dir, network_to_load, flag_ar, flag_ep = config_directory(
-        output_dirname, opt.ckpt_dir, opt.auto_resume, opt.epoch_plus, opt.network_in
+        output_dirname, opt.ckpt_dir, opt.auto_resume, opt.epoch_plus, opt.network_in,
+        mutate_fs=file_logging,
     )
     if not (opt.network_in is not None and network_to_load is None):
         opt.network_in = network_to_load

@@ -106,24 +106,30 @@ ls "$E2E_OUT/FLAG_training_done.nodata" >/dev/null || { echo "MISSING e2e FLAG";
 grep -q "Total loss" "$E2E_OUT/output.log" || { echo "e2e arm logged no loss"; exit 1; }
 
 echo "== 8b. mid-training kill + exact full-state resume (--ckpt_backend msgpack)"
-RESUME_ARGS="--epochs 3 --batch_size 2 --datasets_dir $WS/datasets --image_height 96 \
+# 40 epochs so the kill provably lands mid-run: the first .state appears
+# after epoch 0 and ~39 epochs (tens of seconds) remain when we react
+RESUME_ARGS="--epochs 40 --batch_size 2 --datasets_dir $WS/datasets --image_height 96 \
   --ckpt_backend msgpack --session resume_arm"
-RES_OUT=$WS/output/urbanscape-coord-sresume_arm-no_unc-e3-lr0.0002-sim_only-sc1.00-tiny
+RES_OUT=$WS/output/urbanscape-coord-sresume_arm-no_unc-e40-lr0.0002-sim_only-sc1.00-tiny
 # kill as soon as the first epoch's .state lands (direct PIDs only: the
 # python CLI is a child of the backgrounded harness bash — no pattern kills)
 env EXTRA_ARGS="$RESUME_ARGS" \
   bash "$REPO/script_clean_training/encoder_pretrain.sh" urbanscape coord TINY 1.0 in_place 0.0 NONE 0 \
   > "$WS/resume_arm_phase1.log" 2>&1 &
 KPID=$!
-for i in $(seq 1 300); do
+for i in $(seq 1 1500); do
   ls "$RES_OUT"/state_*.state >/dev/null 2>&1 && break
-  kill -0 $KPID 2>/dev/null || break   # finished before we could kill: benign
-  sleep 1
+  kill -0 $KPID 2>/dev/null || break   # died early: caught by asserts below
+  sleep 0.2
 done
 for c in $(ps -o pid= --ppid $KPID 2>/dev/null); do kill -TERM "$c" 2>/dev/null || true; done
 kill -TERM $KPID 2>/dev/null || true
 wait $KPID 2>/dev/null || true
 ls "$RES_OUT"/state_*.state >/dev/null || { echo "no .state checkpoint before kill"; exit 1; }
+# the kill must land MID-RUN, otherwise the resume below verifies nothing
+if [ -e "$RES_OUT/FLAG_training_done.nodata" ]; then
+  echo "phase 1 completed before the kill — resume arm would be vacuous"; exit 1
+fi
 # resume: SAME harness command (encoder_pretrain.sh always passes --auto_resume)
 EXTRA_ARGS="$RESUME_ARGS" \
   bash "$REPO/script_clean_training/encoder_pretrain.sh" urbanscape coord TINY 1.0 in_place 0.0 NONE 0

@@ -249,10 +249,10 @@ class TestNaming:
 class TestConfigDirectoryOverwrite:
     """The interactive overwrite prompt (reference utils/io.py:194).
 
-    On a TTY the reference asks 'Output directory already exists!
-    Overwrite? (y/n)' and rmtree's only on 'y'; non-interactive runs (the
-    bash harness, CI) cannot block on stdin, so overwrite=None falls back
-    to overwriting there.
+    On a foreground TTY the reference asks 'Output directory already
+    exists! Overwrite? (y/n)' and rmtree's only on 'y'; non-interactive or
+    backgrounded runs (the bash harness, CI) cannot block on stdin, so
+    overwrite=None falls back to overwriting there.
     """
 
     @staticmethod
@@ -266,14 +266,14 @@ class TestConfigDirectoryOverwrite:
     def test_non_interactive_overwrites(self, tmp_path, monkeypatch):
         from crossloc_tpu.utils import io as uio
         out, ckpt = self._dirs(tmp_path)
-        monkeypatch.setattr("sys.stdin.isatty", lambda: False)
+        monkeypatch.setattr(uio, "_stdin_is_foreground_tty", lambda: False)
         uio.config_directory(out, ckpt, auto_resume=False, epoch_plus=False)
         assert not (tmp_path / "out" / "stale.txt").exists()
 
     def test_tty_prompt_no_keeps_dir(self, tmp_path, monkeypatch):
         from crossloc_tpu.utils import io as uio
         out, ckpt = self._dirs(tmp_path)
-        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+        monkeypatch.setattr(uio, "_stdin_is_foreground_tty", lambda: True)
         prompts = []
         monkeypatch.setattr("builtins.input", lambda msg: prompts.append(msg) or "n")
         uio.config_directory(out, ckpt, auto_resume=False, epoch_plus=False)
@@ -283,7 +283,7 @@ class TestConfigDirectoryOverwrite:
     def test_tty_prompt_yes_wipes_dir(self, tmp_path, monkeypatch):
         from crossloc_tpu.utils import io as uio
         out, ckpt = self._dirs(tmp_path)
-        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+        monkeypatch.setattr(uio, "_stdin_is_foreground_tty", lambda: True)
         monkeypatch.setattr("builtins.input", lambda msg: "y")
         uio.config_directory(out, ckpt, auto_resume=False, epoch_plus=False)
         assert not (tmp_path / "out" / "stale.txt").exists()
@@ -291,7 +291,7 @@ class TestConfigDirectoryOverwrite:
     def test_explicit_false_never_prompts(self, tmp_path, monkeypatch):
         from crossloc_tpu.utils import io as uio
         out, ckpt = self._dirs(tmp_path)
-        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+        monkeypatch.setattr(uio, "_stdin_is_foreground_tty", lambda: True)
         monkeypatch.setattr(
             "builtins.input",
             lambda msg: (_ for _ in ()).throw(AssertionError("prompted")),
@@ -300,3 +300,15 @@ class TestConfigDirectoryOverwrite:
             out, ckpt, auto_resume=False, epoch_plus=False, overwrite=False
         )
         assert (tmp_path / "out" / "stale.txt").exists()
+
+    def test_mutate_fs_false_touches_nothing(self, tmp_path, monkeypatch):
+        # multi-host non-main ranks: compute paths, never create or wipe
+        from crossloc_tpu.utils import io as uio
+        out, ckpt = self._dirs(tmp_path)
+        monkeypatch.setattr(uio, "_stdin_is_foreground_tty", lambda: False)
+        o, c, net, ar, ep = uio.config_directory(
+            out, ckpt, auto_resume=False, epoch_plus=False, mutate_fs=False
+        )
+        assert (tmp_path / "out" / "stale.txt").exists()  # not wiped
+        assert not (tmp_path / "ckpts").exists()  # not created
+        assert net is None and o == out

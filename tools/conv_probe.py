@@ -12,13 +12,9 @@ Usage: python tools/conv_probe.py [--batches 12,24,64] [--iters 30]
 from __future__ import annotations
 
 import argparse
-import os
-import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -59,9 +59,11 @@ def main():
         return res.cam_to_world
 
     rng = np.random.default_rng(0)
+    # params are batch-independent: init once (re-init per batch would add a
+    # full re-trace + device compile per entry on this 1-2 vCPU box)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 480, 720, 3)))
     for batch in (int(b) for b in args.batches.split(",")):
         images = jnp.asarray(rng.normal(size=(batch, 480, 720, 3)), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), images[:1])
         key = jax.random.PRNGKey(1)
 
         out = localize(params, images, key)

@@ -6,7 +6,7 @@ from .distributed import (
     local_data_shard,
     make_global_mesh,
 )
-from .mesh import batch_spec, make_mesh, replicate, shard_batch
+from .mesh import batch_spec, make_mesh, param_spec, replicate, shard_batch, shard_params
 
 __all__ = [
     "batch_spec",
@@ -15,6 +15,8 @@ __all__ = [
     "local_data_shard",
     "make_global_mesh",
     "make_mesh",
+    "param_spec",
     "replicate",
     "shard_batch",
+    "shard_params",
 ]

@@ -8,7 +8,35 @@ scales with a 2-D `jax.sharding.Mesh`:
                 all-reduce over ICI automatically),
   * "spatial" — image-height dimension (sequence/spatial parallelism for the
                 conv tower; XLA SPMD inserts halo exchanges for 3x3 convs
-                and cross-shard reductions for GroupNorm statistics).
+                and cross-shard reductions for GroupNorm statistics),
+  * "model"   — optional axis (parameter sharding, FSDP/ZeRO-style): conv
+                kernels and their bias/GroupNorm vectors are sharded over
+                out-channels (`param_spec`), and the batch N dim spans
+                ("data", "model") (`shard_batch`), so weights AND Adam
+                moments live sharded while XLA GSPMD inserts the per-layer
+                weight all-gathers. GN groups stay shard-local (32 groups,
+                and the mesh sizes used divide 32, so every group's
+                channels land on one shard). The model is ~30M params, so
+                parameter sharding is never needed for memory (SURVEY.md
+                §2.3 deems TP out of scope for parity) — this is a
+                correctness-tested capability for scaling experiments, not
+                a default.
+
+"model" cannot be combined with "spatial" (make_mesh raises): jax/jaxlib
+0.9.0 MISCOMPILES conv gradients on meshes that mix height sharding with
+out-channel parameter sharding — measured on the full network, stem/early
+res-block weight gradients come out 4x or with essentially random per-leaf
+scale factors while the forward loss stays exact, under BOTH the Shardy and
+classic-GSPMD partitioners. `tools/xla_convgrad_repro.py` is the
+single-conv distillation of the same partitioner defect family: any mesh
+axis unspanned by a spatially-sharded conv's operands mis-scales its weight
+gradient by the unused axis size (and an out-channel-sharded kernel there
+corrupts even the forward). Revisit the guard on a jax upgrade by rerunning
+the repro + tests/test_train.py::TestShardingEquivalence. On supported
+meshes, `shard_batch` always spans every mesh axis with the batch N dim
+(("data", "model")), which both sidesteps the unspanned-axis defect and is
+the better sharding (replicating the batch over an axis would leave its
+chips recomputing identical activations).
 
 Hypothesis parallelism (the analog of the plugin's OpenMP loop over 64
 RANSAC hypotheses, `dsacstar.cpp:124`) lives *inside* each chip's program as
@@ -28,24 +56,43 @@ def make_mesh(
     devices: Optional[Sequence] = None,
     data: Optional[int] = None,
     spatial: int = 1,
+    model: int = 1,
 ) -> Mesh:
-    """Build a ("data", "spatial") mesh. Defaults: all devices on "data"."""
+    """Build a ("data", "spatial") or ("data", "spatial"=1, "model") mesh.
+
+    Defaults: all devices on "data". The "model" axis is only materialized
+    when model > 1 (with a size-1 "spatial" axis so specs naming "spatial"
+    still resolve); spatial>1 with model>1 raises — jax 0.9.0 miscompiles
+    that combination (module docstring).
+    """
     devices = list(jax.devices()) if devices is None else list(devices)
     n = len(devices)
+    if spatial > 1 and model > 1:
+        raise ValueError(
+            "spatial and model axes cannot be combined: jax 0.9.0 XLA SPMD "
+            "miscompiles conv gradients when image height and parameter "
+            "out-channels are both sharded (see parallel/mesh.py docstring "
+            "and tools/xla_convgrad_repro.py)"
+        )
     if data is None:
-        data = n // spatial
-    if data * spatial != n:
-        raise ValueError(f"mesh {data}x{spatial} != {n} devices")
+        data = n // (spatial * model)
+    if data * spatial * model != n:
+        raise ValueError(f"mesh {data}x{spatial}x{model} != {n} devices")
+    if model > 1:
+        arr = np.asarray(devices).reshape(data, 1, model)
+        return Mesh(arr, axis_names=("data", "spatial", "model"))
     arr = np.asarray(devices).reshape(data, spatial)
     return Mesh(arr, axis_names=("data", "spatial"))
 
 
-def batch_spec(ndim: int, shard_spatial: bool = False) -> P:
-    """PartitionSpec for an NHWC batch tensor: shard N over "data" and
-    (optionally) H over "spatial"."""
+def batch_spec(ndim: int, shard_spatial: bool = False, shard_model: bool = False) -> P:
+    """PartitionSpec for an NHWC batch tensor: shard N over "data" (and
+    over ("data", "model") on 3-axis meshes — the batch must span EVERY
+    mesh axis, see the module docstring on the XLA conv-grad miscompile)
+    and optionally H over "spatial"."""
     if ndim < 1:
         raise ValueError("batch arrays must have a leading batch dim")
-    parts = ["data"] + ([None] * (ndim - 1))
+    parts = [("data", "model") if shard_model else "data"] + ([None] * (ndim - 1))
     if shard_spatial and ndim >= 3:
         parts[1] = "spatial"
     return P(*parts)
@@ -53,10 +100,15 @@ def batch_spec(ndim: int, shard_spatial: bool = False) -> P:
 
 def shard_batch(mesh: Mesh, tree, shard_spatial: bool = False):
     """Device-put a pytree of batch arrays with batch (and optionally
-    height) sharding."""
+    height) sharding; scalar leaves replicate. On a mesh with a "model"
+    axis the batch N dim spans ("data", "model") so no mesh axis is left
+    unspanned by the data (required — see the module docstring)."""
+    shard_model = "model" in mesh.axis_names
 
     def put(x):
-        spec = batch_spec(np.ndim(x), shard_spatial and np.ndim(x) >= 4)
+        if np.ndim(x) == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        spec = batch_spec(np.ndim(x), shard_spatial and np.ndim(x) >= 4, shard_model)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)
@@ -66,3 +118,43 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (parameters, optimizer state) on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def param_spec(tree, model: int, axis: str = "model"):
+    """PartitionSpecs for parameter sharding: shard each parameter's
+    out-channel (trailing) axis over the "model" mesh axis.
+
+    The network is all NHWC convs: kernels are HWIO and biases/GroupNorm
+    vectors are [C], so the trailing axis is out-channels everywhere. A leaf
+    is sharded only when its channel count is a multiple of 32 — that keeps
+    GroupNorm's 32 groups shard-local (group size C/32 divides the shard
+    size C/model whenever model divides 32, which is validated) — so every
+    tower width (32..512) shards while the 4-channel head and the [3]
+    scene-mean replicate. Works on any pytree whose leaves are arrays
+    (params, Adam moments); scalar leaves replicate.
+    """
+    if 32 % model != 0:
+        raise ValueError(f"model={model} must divide 32 (GroupNorm groups)")
+
+    def spec(x):
+        shape = np.shape(x)
+        if shape and shape[-1] % 32 == 0:
+            return P(*([None] * (len(shape) - 1) + [axis]))
+        return P()
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_params(mesh: Mesh, tree, axis: str = "model"):
+    """Device-put params / optimizer state with out-channel sharding over
+    the mesh's "model" axis (falls back to full replication on 2-axis
+    meshes). With the batch spanning ("data", "model") (`shard_batch`),
+    XLA GSPMD inserts the per-layer weight all-gathers — FSDP/ZeRO-style
+    parameter + optimizer-state sharding."""
+    model = dict(mesh.shape).get(axis, 1)
+    if model == 1:
+        return replicate(mesh, tree)
+    specs = param_spec(tree, model, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )

@@ -93,7 +93,7 @@ class TestShardingEquivalence:
         models.set_gn_fast_variance(True)
 
     def _run(self, rng, mesh_kwargs, batch_spec_fn, B, steps=3, smooth_surrogate=False,
-             grad_atol_rel=1e-5):
+             grad_atol_rel=1e-5, tp=False, param_atol_per_step=2e-4):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from crossloc_tpu import parallel
@@ -121,15 +121,17 @@ class TestShardingEquivalence:
             state_ref, m_ref = step(state_ref, batch)
 
         mesh = parallel.make_mesh(jax.devices(), **mesh_kwargs)
+        shard_state = parallel.shard_params if tp else parallel.replicate
+        batch_axes = ("data", "model") if tp else "data"
         with mesh:
-            state_sh = parallel.replicate(mesh, state0)
+            state_sh = shard_state(mesh, state0)
             sharded = train.TrainBatch(
                 images=jax.device_put(batch.images, NamedSharding(mesh, batch_spec_fn())),
-                poses=jax.device_put(batch.poses, NamedSharding(mesh, P("data"))),
-                labels=jax.device_put(batch.labels, NamedSharding(mesh, P("data"))),
+                poses=jax.device_put(batch.poses, NamedSharding(mesh, P(batch_axes))),
+                labels=jax.device_put(batch.labels, NamedSharding(mesh, P(batch_axes))),
                 focal=jax.device_put(batch.focal, NamedSharding(mesh, P())),
             )
-            g_sh = grad_fn(parallel.replicate(mesh, state0.params), sharded)
+            g_sh = grad_fn(shard_state(mesh, state0.params), sharded)
             for _ in range(steps):
                 state_sh, m_sh = step(state_sh, sharded)
 
@@ -153,7 +155,8 @@ class TestShardingEquivalence:
             jax.tree_util.tree_leaves(state_sh.params),
         ):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-4 * steps
+                np.asarray(a), np.asarray(b), rtol=1e-5,
+                atol=param_atol_per_step * steps,
             )
 
     def test_dp_train_step_matches_single_device(self, rng):
@@ -174,6 +177,72 @@ class TestShardingEquivalence:
         # DP gradient check above.
         self._run(rng, dict(data=4, spatial=2), lambda: P("data", "spatial"), B=4,
                   steps=1, smooth_surrogate=True, grad_atol_rel=2e-4)
+
+    def test_dp_fsdp_train_step_matches_single_device(self, rng):
+        """(data, model) sharding — FSDP/ZeRO-style parameter sharding on
+        top of DP: conv kernels and bias/GN vectors sharded over
+        out-channels (`parallel.shard_params`), Adam moments sharded the
+        same way, batch N spanning ("data", "model"), so GSPMD inserts
+        per-layer weight all-gathers and the update runs on channel-sharded
+        moments (params must STAY model-sharded afterwards —
+        test_fsdp_update_preserves_model_sharding).
+
+        Gradients check tightly against single-device like pure DP:
+        out-channel sharding splits no contraction (each output channel is
+        computed whole on one shard) and GN groups stay shard-local, so the
+        only cross-shard reduction is the same batch all-reduce DP has.
+
+        Combining "model" with "spatial" is guarded off in make_mesh: jax
+        0.9.0 miscompiles conv gradients on such meshes (stem/early-res
+        weight grads came out 4x or with random per-leaf scales while the
+        forward stayed exact, both Shardy and classic GSPMD) — see
+        parallel/mesh.py's module docstring and
+        tools/xla_convgrad_repro.py for the single-conv distillation.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        self._run(rng, dict(data=4, model=2),
+                  lambda: P(("data", "model")), B=8, tp=True)
+
+    def test_spatial_model_mesh_refused(self):
+        """The miscompiled spatial x model combination must be unreachable."""
+        from crossloc_tpu import parallel
+
+        with pytest.raises(ValueError, match="spatial and model"):
+            parallel.make_mesh(jax.devices(), data=2, spatial=2, model=2)
+
+    def test_fsdp_update_preserves_model_sharding(self, rng):
+        """After an Adam step on shard_params state, every sharded leaf must
+        still carry the "model" axis in its sharding spec (no silent
+        GSPMD replication of the weights mid-update)."""
+        from crossloc_tpu import parallel
+
+        model = models.build_network("coord", uncertainty="MLE", mean=[0.0, 0.0, 0.0])
+        tx = train.make_optimizer(1e-4, steps_per_epoch=10)
+        batch = synth_batch(rng, B=8)  # N spans ("data", "model") = 8 ways
+        state = train.create_train_state(model, tx, batch.images)
+        mesh = parallel.make_mesh(jax.devices(), data=4, model=2)
+        step = jax.jit(train.make_train_step(model, tx, "coord", uncertainty="MLE"))
+        with mesh:
+            state_sh = parallel.shard_params(mesh, state)
+            sharded = parallel.shard_batch(mesh, batch)
+            state_sh, _ = step(state_sh, sharded)
+        from jax.sharding import PartitionSpec as P
+
+        specs = parallel.param_spec(state.params, model=2)
+        flat_specs = jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, P)
+        )
+        flat_params = jax.tree_util.tree_flatten_with_path(state_sh.params)[0]
+        assert len(flat_specs) == len(flat_params)
+        for (path, leaf), spec in zip(flat_params, flat_specs):
+            got = leaf.sharding.spec
+            want_model = "model" in tuple(spec)
+            has_model = "model" in tuple(got)
+            assert has_model == want_model, (
+                f"{jax.tree_util.keystr(path)}: spec {got}, wanted model-sharded="
+                f"{want_model}"
+            )
 
 
 class TestGraftEntry:

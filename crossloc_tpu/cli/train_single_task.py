@@ -62,6 +62,16 @@ def config_parser(description="Initialize a scene coordinate regression network.
     parser.add_argument("--num_devices", type=int, default=1,
                         help="data-parallel device count over a jax Mesh "
                              "(framework extension; reference is single-GPU)")
+    parser.add_argument("--zero", action="store_true",
+                        help="ZeRO/FSDP: shard parameters AND Adam moments "
+                             "over the data-parallel mesh axis (out-channel "
+                             "sharding, parallel.shard_params) instead of "
+                             "replicating them; XLA GSPMD inserts the "
+                             "per-layer weight all-gathers. Requires "
+                             "--num_devices > 1 or a multi-host run, with "
+                             "the device count dividing 32 (framework "
+                             "extension; numerically equivalent to "
+                             "replicated DP — tests/test_train.py)")
     parser.add_argument("--e2e_pose_loss", action="store_true",
                         help="DSAC end-to-end training: minimize the expected "
                              "pose loss through the differentiable RANSAC "
@@ -234,11 +244,14 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         # host's local slice via make_array_from_process_local_data
         mesh = parallel.make_global_mesh(data=jax.device_count(), spatial=1)
         global_feed = True
-        state = parallel.replicate(mesh, state)
+        state = (parallel.shard_params(mesh, state, axis="data")
+                 if getattr(opt, "zero", False)
+                 else parallel.replicate(mesh, state))
         logging.info(
             "Multi-host data-parallel training: %d processes x %d local devices "
-            "(global batch %d, local %d)",
-            world, jax.local_device_count(), opt.batch_size, local_batch)
+            "(global batch %d, local %d)%s",
+            world, jax.local_device_count(), opt.batch_size, local_batch,
+            " with ZeRO parameter sharding" if getattr(opt, "zero", False) else "")
     elif getattr(opt, "num_devices", 1) > 1:
         from .. import parallel
 
@@ -248,8 +261,27 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         if opt.batch_size % opt.num_devices != 0:
             raise ValueError("batch_size must be divisible by num_devices")
         mesh = parallel.make_mesh(devices, data=opt.num_devices, spatial=1)
-        state = parallel.replicate(mesh, state)
-        logging.info("Data-parallel training over %d devices", opt.num_devices)
+        state = (parallel.shard_params(mesh, state, axis="data")
+                 if getattr(opt, "zero", False)
+                 else parallel.replicate(mesh, state))
+        logging.info("Data-parallel training over %d devices%s", opt.num_devices,
+                     " with ZeRO parameter sharding" if getattr(opt, "zero", False)
+                     else "")
+
+    zero = getattr(opt, "zero", False)
+    if zero and mesh is None:
+        raise ValueError("--zero requires a device mesh: set --num_devices > 1 "
+                         "or run multi-host (CROSSLOC_COORDINATOR et al.)")
+
+    def to_host(tree):
+        # ZeRO-sharded leaves are all-gathered on device first: the
+        # .net/.state artifacts are written replicated, and jax.device_get
+        # on an array sharded across processes is not fully addressable
+        if zero:
+            from .. import parallel
+
+            tree = parallel.gather_tree(mesh, tree)
+        return jax.device_get(tree)
 
     # donate the train state (params + Adam moments, ~3x params of HBM):
     # the old state is dead after each call, so XLA can update in place
@@ -333,13 +365,14 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
                 from ..train import CheckpointManager as _CM
 
                 src_mgr = _CM(src_dir, backend=ckpt_backend)
-            restored = src_mgr.restore_latest(jax.device_get(state))
+            restored = src_mgr.restore_latest(to_host(state))
             if restored is not None:
                 state = restored
                 if mesh is not None:
                     from .. import parallel
 
-                    state = parallel.replicate(mesh, state)
+                    state = (parallel.shard_params(mesh, state, axis="data")
+                             if zero else parallel.replicate(mesh, state))
                 # the log-parse path conservatively RE-RUNS the last logged
                 # epoch (its state is weights-only); the restored state is
                 # exact at an epoch boundary, so resume AFTER it — no epoch
@@ -413,7 +446,7 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
                 # epoch and break the exact-resume contract.
                 if is_main:
                     logging.info("Saving snapshot of the network to %s." % model_path)
-                    compat.save_net(model_path, jax.device_get(state.params), model)
+                    compat.save_net(model_path, to_host(state.params), model)
                 save_counter = iteration + len(trainset)
                 epoch_de_facto += 1
 
@@ -421,21 +454,21 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
                 if is_main:
                     compat.save_net(
                         os.path.join(ckpt_output_dir, "ckpt_iter_{:07d}.net".format(iteration)),
-                        jax.device_get(state.params),
+                        to_host(state.params),
                         model,
                     )
                 last_ckpt_iteration = iteration
 
         if is_main:
             logging.info("Saving snapshot of the network to %s." % model_path)
-            compat.save_net(model_path, jax.device_get(state.params), model)
+            compat.save_net(model_path, to_host(state.params), model)
         if manager is not None and (is_main or manager.backend == "orbax"):
             # epoch boundary: state.step is exactly (epoch+1)*steps_per_epoch,
             # so restore's epoch bookkeeping is exact. Orbax saves are
             # collective in a multi-host run (train/checkpoint.py:64) — every
             # process must enter them, not just rank 0; the msgpack file is
             # written by rank 0 alone.
-            manager.save(jax.device_get(state))
+            manager.save(to_host(state))
 
     logging.info("Done without errors.")
     if manager is not None:

@@ -6,10 +6,19 @@ from .distributed import (
     local_data_shard,
     make_global_mesh,
 )
-from .mesh import batch_spec, make_mesh, param_spec, replicate, shard_batch, shard_params
+from .mesh import (
+    batch_spec,
+    gather_tree,
+    make_mesh,
+    param_spec,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 
 __all__ = [
     "batch_spec",
+    "gather_tree",
     "global_batch_from_local",
     "initialize_distributed",
     "local_data_shard",

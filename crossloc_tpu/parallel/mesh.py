@@ -120,6 +120,17 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def gather_tree(mesh: Mesh, tree):
+    """Re-replicate a (possibly parameter-sharded) pytree on device: a jit
+    identity with fully-replicated out_shardings, so XLA inserts the
+    all-gathers. Needed before host pulls of ZeRO-sharded state in
+    multi-process runs, where `jax.device_get` on an array sharded across
+    processes is not fully addressable; on replicated input it is a no-op
+    copy."""
+    shardings = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+
+
 def param_spec(tree, model: int, axis: str = "model"):
     """PartitionSpecs for parameter sharding: shard each parameter's
     out-channel (trailing) axis over the "model" mesh axis.
@@ -134,7 +145,7 @@ def param_spec(tree, model: int, axis: str = "model"):
     (params, Adam moments); scalar leaves replicate.
     """
     if 32 % model != 0:
-        raise ValueError(f"model={model} must divide 32 (GroupNorm groups)")
+        raise ValueError(f"{axis}={model} must divide 32 (GroupNorm groups)")
 
     def spec(x):
         shape = np.shape(x)
@@ -147,10 +158,12 @@ def param_spec(tree, model: int, axis: str = "model"):
 
 def shard_params(mesh: Mesh, tree, axis: str = "model"):
     """Device-put params / optimizer state with out-channel sharding over
-    the mesh's "model" axis (falls back to full replication on 2-axis
-    meshes). With the batch spanning ("data", "model") (`shard_batch`),
-    XLA GSPMD inserts the per-layer weight all-gathers — FSDP/ZeRO-style
-    parameter + optimizer-state sharding."""
+    the given mesh axis (falls back to full replication when the mesh lacks
+    the axis or it has size 1). With the batch spanning that same axis
+    (`shard_batch` on "model" meshes; the batch's own "data" axis for
+    ZeRO-over-DP, axis="data" — the train CLI's --zero), XLA GSPMD inserts
+    the per-layer weight all-gathers — FSDP/ZeRO-style parameter +
+    optimizer-state sharding."""
     model = dict(mesh.shape).get(axis, 1)
     if model == 1:
         return replicate(mesh, tree)

@@ -93,7 +93,8 @@ class TestShardingEquivalence:
         models.set_gn_fast_variance(True)
 
     def _run(self, rng, mesh_kwargs, batch_spec_fn, B, steps=3, smooth_surrogate=False,
-             grad_atol_rel=1e-5, tp=False, param_atol_per_step=2e-4):
+             grad_atol_rel=1e-5, tp=False, param_atol_per_step=2e-4,
+             shard_axis="model"):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from crossloc_tpu import parallel
@@ -121,8 +122,12 @@ class TestShardingEquivalence:
             state_ref, m_ref = step(state_ref, batch)
 
         mesh = parallel.make_mesh(jax.devices(), **mesh_kwargs)
-        shard_state = parallel.shard_params if tp else parallel.replicate
-        batch_axes = ("data", "model") if tp else "data"
+        if tp:
+            shard_state = lambda m, t: parallel.shard_params(m, t, axis=shard_axis)
+            batch_axes = ("data", "model") if shard_axis == "model" else "data"
+        else:
+            shard_state = parallel.replicate
+            batch_axes = "data"
         with mesh:
             state_sh = shard_state(mesh, state0)
             sharded = train.TrainBatch(
@@ -203,6 +208,19 @@ class TestShardingEquivalence:
 
         self._run(rng, dict(data=4, model=2),
                   lambda: P(("data", "model")), B=8, tp=True)
+
+    def test_zero_over_data_train_step_matches_single_device(self, rng):
+        """ZeRO over the DP axis itself (the train CLI's --zero): params AND
+        Adam moments sharded over out-channels on the SAME "data" axis the
+        batch is sharded on, so GSPMD lowers the DP gradient all-reduce to
+        reduce-scatter + weight all-gather at use (classic ZeRO-3). No mesh
+        axis is left unspanned by the batch, so the jax 0.9.0 conv-grad
+        miscompile (parallel/mesh.py module docstring) is not triggered —
+        this asserts the numerics against the single-device step."""
+        from jax.sharding import PartitionSpec as P
+
+        self._run(rng, dict(data=8), lambda: P("data"), B=8, tp=True,
+                  shard_axis="data")
 
     def test_spatial_model_mesh_refused(self):
         """The miscompiled spatial x model combination must be unreachable."""

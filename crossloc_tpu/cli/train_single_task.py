@@ -444,31 +444,45 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
                 # boundaries below — restore floors to an epoch start, so a
                 # mid-epoch `.state` would re-apply the tail batches of its
                 # epoch and break the exact-resume contract.
+                # The save CONDITION is rank-symmetric (iteration counts
+                # global samples identically everywhere), and with --zero the
+                # host copy is a COLLECTIVE all-gather every rank must join —
+                # only the file write stays rank-0-gated.
+                if is_main or zero:
+                    host_params = to_host(state.params)
                 if is_main:
                     logging.info("Saving snapshot of the network to %s." % model_path)
-                    compat.save_net(model_path, to_host(state.params), model)
+                    compat.save_net(model_path, host_params, model)
                 save_counter = iteration + len(trainset)
                 epoch_de_facto += 1
 
             if iteration > last_ckpt_iteration + save_period * len(trainset) or last_ckpt_iteration == 0:
+                if is_main or zero:
+                    host_params = to_host(state.params)
                 if is_main:
                     compat.save_net(
                         os.path.join(ckpt_output_dir, "ckpt_iter_{:07d}.net".format(iteration)),
-                        to_host(state.params),
+                        host_params,
                         model,
                     )
                 last_ckpt_iteration = iteration
 
+        if is_main or zero:
+            host_params = to_host(state.params)
         if is_main:
             logging.info("Saving snapshot of the network to %s." % model_path)
-            compat.save_net(model_path, to_host(state.params), model)
-        if manager is not None and (is_main or manager.backend == "orbax"):
+            compat.save_net(model_path, host_params, model)
+        if manager is not None and (is_main or manager.backend == "orbax" or zero):
             # epoch boundary: state.step is exactly (epoch+1)*steps_per_epoch,
             # so restore's epoch bookkeeping is exact. Orbax saves are
             # collective in a multi-host run (train/checkpoint.py:64) — every
             # process must enter them, not just rank 0; the msgpack file is
-            # written by rank 0 alone.
-            manager.save(to_host(state))
+            # written by rank 0 alone. The --zero host gather is likewise
+            # collective, so every rank computes host_state even when only
+            # rank 0 writes the msgpack file.
+            host_state = to_host(state)
+            if is_main or manager.backend == "orbax":
+                manager.save(host_state)
 
     logging.info("Done without errors.")
     if manager is not None:

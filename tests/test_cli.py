@@ -471,6 +471,31 @@ class TestMultiDeviceCLI:
         for k in pa:
             assert np.max(np.abs(pb[k] - pa[k])) <= 3 * lr, k
 
+    def test_full_state_resume_onto_zero_sharded_mesh(self, workspace, monkeypatch):
+        """The crash-on-1-chip, resume-on-4 contract with --zero: the restore
+        template is gathered from the ZeRO-sharded placement (to_host →
+        parallel.gather_tree), the restored host state re-shards through
+        shard_params, and the continuation trains on channel-sharded Adam
+        moments — every --zero-specific branch of the resume path."""
+        monkeypatch.chdir(workspace)
+        base = lambda sid, extra: common_train_args(
+            workspace, "coord", ["--session", sid] + extra)
+
+        train_cli.main(base("zmeshres", ["--epochs", "1", "--batch_size", "4",
+                                         "--ckpt_backend", "msgpack"]))
+        train_cli.main(base("zmeshres", ["--epochs", "2", "--epoch_plus",
+                                         "--batch_size", "4",
+                                         "--ckpt_backend", "msgpack",
+                                         "--num_devices", "4", "--zero"]))
+        out = (workspace / "output" /
+               "urbanscape-coord-szmeshres-no_unc-e2-lr0.0002-sim_only-sc1.00-tiny")
+        log = (out / "output.log").read_text()
+        assert "Restored full train state (step 1): exact optimizer resume from epoch 1." in log
+        assert "with ZeRO parameter sharding" in log
+        assert (out / "FLAG_training_done.nodata").exists()
+        pb = self._net_params(out / "model_epoch_plus_resume.net")
+        assert all(np.isfinite(v).all() for v in pb.values())
+
     @staticmethod
     def _net_params(path):
         import torch

@@ -197,6 +197,68 @@ class TestTwoProcessLocalhost:
         assert diffs[len(diffs) // 2] < 1e-5, f"median param diff {diffs[len(diffs)//2]}"
         assert diffs[-1] < 3.0 * 2 * 2e-4, f"max param diff {diffs[-1]}"
 
+    def test_zero_two_process_matches_single_process(self, ws):
+        """--zero across 2 REAL processes: parameters and Adam moments are
+        sharded over the cross-process "data" axis, so each rank holds only
+        half of every conv kernel's out-channels. The host-side .net save
+        must go through `parallel.gather_tree` (a bare jax.device_get on a
+        cross-process-sharded array is not fully addressable). Per-step
+        losses and the saved model.net must match a single-process
+        replicated run of the same global batch — the same correctness
+        statement as the replicated 2-process test, now with ZeRO
+        placement + the gather-before-save path over the real transport."""
+        zws = ws / "zero"
+        zws.mkdir(exist_ok=True)
+        (zws / "rank0").mkdir(exist_ok=True)
+        (zws / "rank1").mkdir(exist_ok=True)
+        cli_args = _train_args(ws / "datasets", ws / "ckpts_zero",
+                               extra=["--zero"])
+        _run_both(_free_port(), {0: zws / "rank0", 1: zws / "rank1"},
+                  cli_args, ws, "zero")
+
+        out0 = zws / "rank0" / "output" / SCENE_NAME
+        assert (out0 / "FLAG_training_done.nodata").exists()
+        log0 = (out0 / "output.log").read_text()
+        assert "with ZeRO parameter sharding" in log0
+
+        # single-process replicated control on the same global batch
+        from crossloc_tpu.cli import train_single_task as train_cli
+
+        single = zws / "single"
+        single.mkdir(exist_ok=True)
+        cwd = os.getcwd()
+        os.chdir(single)
+        try:
+            train_cli.main(_train_args(ws / "datasets", ws / "ckpts_zero_s"))
+        finally:
+            os.chdir(cwd)
+        out_s = single / "output" / SCENE_NAME
+
+        import re
+
+        log_s = (out_s / "output.log").read_text()
+        losses_zero = re.findall(r"Total loss: ([-\d.]+)", log0)
+        losses_sp = re.findall(r"Total loss: ([-\d.]+)", log_s)
+        assert losses_zero == losses_sp and len(losses_zero) == 2, (
+            losses_zero, losses_sp)
+
+        import torch
+
+        st_z = torch.load(str(out0 / "model.net"), map_location="cpu",
+                          weights_only=False)
+        st_s = torch.load(str(out_s / "model.net"), map_location="cpu",
+                          weights_only=False)
+        assert st_z.keys() == st_s.keys()
+        diffs = sorted(
+            float(np.abs(np.asarray(st_z[k], np.float64)
+                         - np.asarray(st_s[k], np.float64)).max())
+            for k in st_z
+        )
+        # same bounds as the replicated test: Adam amplifies ulp-level
+        # reduction-order noise to a full +-lr step in null directions
+        assert diffs[len(diffs) // 2] < 1e-5, f"median param diff {diffs[len(diffs)//2]}"
+        assert diffs[-1] < 3.0 * 2 * 2e-4, f"max param diff {diffs[-1]}"
+
     def test_orbax_collective_save_and_exact_resume(self, ws):
         """--ckpt_backend orbax across 2 REAL processes: the save is
         collective (every process participates), and a later 2-process

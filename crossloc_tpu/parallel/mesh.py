@@ -45,6 +45,7 @@ hypothesis axis with "spatial" but is not worthwhile at 64 hypotheses.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -120,6 +121,14 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+@functools.lru_cache(maxsize=8)
+def _gather_fn(mesh: Mesh):
+    # one jit wrapper per mesh (a single out_shardings leaf broadcasts over
+    # the whole output pytree), so repeated epoch saves reuse the compiled
+    # identity-gather program instead of re-tracing a fresh lambda each call
+    return jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
+
+
 def gather_tree(mesh: Mesh, tree):
     """Re-replicate a (possibly parameter-sharded) pytree on device: a jit
     identity with fully-replicated out_shardings, so XLA inserts the
@@ -127,8 +136,7 @@ def gather_tree(mesh: Mesh, tree):
     multi-process runs, where `jax.device_get` on an array sharded across
     processes is not fully addressable; on replicated input it is a no-op
     copy."""
-    shardings = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
-    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+    return _gather_fn(mesh)(tree)
 
 
 def param_spec(tree, model: int, axis: str = "model"):

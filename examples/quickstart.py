@@ -4,8 +4,10 @@ Runs anywhere (CPU ok, ~2 min): generates an exact synthetic scene, fits a
 tiny coord regressor, and recovers the camera pose with the fused
 differentiable-RANSAC solver.
 
-    python examples/quickstart.py
+    python examples/quickstart.py [--steps N]
 """
+import argparse
+
 import numpy as np
 
 import jax
@@ -14,7 +16,7 @@ import jax.numpy as jnp
 from crossloc_tpu import data, geometry as geo, models, ransac, train
 
 
-def main():
+def main(steps: int = 400):
     rng = np.random.default_rng(0)
     scene = data.synth_sample(rng, img_h=96, img_w=144, focal=120.0)
 
@@ -34,7 +36,7 @@ def main():
     # 2. one fused jit training step
     step = jax.jit(train.make_train_step(model, tx, "coord"))
     batch = train.TrainBatch(images=norm_images, poses=poses, labels=labels, focal=focal)
-    for i in range(400):
+    for i in range(steps):
         state, metrics = step(state, batch)
         if i % 100 == 0:
             print(f"step {i:4d}  loss {float(metrics['loss']):8.2f}  "
@@ -50,7 +52,10 @@ def main():
     )
     r_err = np.asarray(geo.rotation_angle_deg(res.cam_to_world[:, :3, :3], poses[:, :3, :3]))
     print(f"pose errors: {t_err.round(2)} m, {r_err.round(2)} deg")
+    return t_err, r_err
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=400, help="training steps")
+    main(steps=ap.parse_args().steps)

@@ -46,6 +46,7 @@ def get_output_path(opt, project_dir=None):
         real_data_chunk=opt.real_data_chunk, sim_data_chunk=opt.sim_data_chunk,
         real_data_domain=opt.real_data_domain, real_only=opt.real_only,
         tiny=opt.tiny, network_in=opt.network_in, debug=opt.debug,
+        e2e=getattr(opt, "e2e_pose_loss", False),
         bf16=getattr(opt, "bf16", False),
     )
     project_dir = project_dir or os.getcwd()

@@ -237,6 +237,18 @@ def evaluate_network(opt, network_path: str, scene, grayscale, task, sections, t
         unknown = set(overrides) - set(cfg._fields)
         if unknown:
             raise ValueError(f"unknown RansacConfig fields in --ransac_cfg: {sorted(unknown)}")
+        # coerce to each field's declared type: JSON yields floats/strings
+        # where int/bool fields feed trace-time static shapes, and a float
+        # `hypotheses` would fail deep inside jit with an opaque error
+        for k, v in list(overrides.items()):
+            want = type(getattr(cfg, k))
+            if isinstance(v, want):
+                continue
+            if want is int and isinstance(v, float) and v != int(v):
+                raise ValueError(f"--ransac_cfg {k}={v!r}: expected {want.__name__}")
+            if want is bool or not isinstance(v, (int, float)):
+                raise ValueError(f"--ransac_cfg {k}={v!r}: expected {want.__name__}")
+            overrides[k] = want(v)
         cfg = cfg._replace(**overrides)
         print("RansacConfig overrides: %s" % overrides)
     ntc = model.num_task_channel

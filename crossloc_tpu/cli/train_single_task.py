@@ -301,6 +301,15 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
 
     fused_e2e_step = None
     if getattr(opt, "e2e_pose_loss", False):
+        if opt.uncertainty is not None:
+            # the expected pose loss consumes only the coord channels
+            # (train/dsac_step.py); an MLE head keeps training but its
+            # uncertainty channel receives zero gradient from the pose loss
+            logging.warning(
+                "--e2e_pose_loss with --uncertainty %s: the uncertainty "
+                "channel gets NO gradient from the pose loss (only the "
+                "coord channels feed the solver)", opt.uncertainty,
+            )
         from ..train import make_dsac_train_step
 
         dsac_step = make_dsac_train_step(model, tx, subsample=subsample)
@@ -437,28 +446,31 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
                 % (iteration, epoch, loss, valid_rate * 100, time_avg)
             )
 
-            if iteration > save_counter:
-                # reference de-facto-epoch snapshot site (can fire mid-epoch
-                # when batch sizes straddle the epoch boundary). Weights-only:
-                # the full-state `.state` is written ONLY at true epoch
-                # boundaries below — restore floors to an epoch start, so a
-                # mid-epoch `.state` would re-apply the tail batches of its
-                # epoch and break the exact-resume contract.
-                # The save CONDITION is rank-symmetric (iteration counts
-                # global samples identically everywhere), and with --zero the
-                # host copy is a COLLECTIVE all-gather every rank must join —
-                # only the file write stays rank-0-gated.
-                if is_main or zero:
-                    host_params = to_host(state.params)
+            # de-facto-epoch snapshot (reference site; can fire mid-epoch
+            # when batch sizes straddle the epoch boundary) and periodic
+            # ckpt can fire on the SAME step. Weights-only: the full-state
+            # `.state` is written ONLY at true epoch boundaries below —
+            # restore floors to an epoch start, so a mid-epoch `.state`
+            # would re-apply the tail batches of its epoch and break the
+            # exact-resume contract. The save CONDITIONS are rank-symmetric
+            # (iteration counts global samples identically everywhere), and
+            # with --zero the host copy is a COLLECTIVE all-gather every
+            # rank must join — gathered ONCE here and reused across both
+            # save sites; only the file writes stay rank-0-gated.
+            fire_snapshot = iteration > save_counter
+            fire_ckpt = (
+                iteration > last_ckpt_iteration + save_period * len(trainset)
+                or last_ckpt_iteration == 0
+            )
+            if (fire_snapshot or fire_ckpt) and (is_main or zero):
+                host_params = to_host(state.params)
+            if fire_snapshot:
                 if is_main:
                     logging.info("Saving snapshot of the network to %s." % model_path)
                     compat.save_net(model_path, host_params, model)
                 save_counter = iteration + len(trainset)
                 epoch_de_facto += 1
-
-            if iteration > last_ckpt_iteration + save_period * len(trainset) or last_ckpt_iteration == 0:
-                if is_main or zero:
-                    host_params = to_host(state.params)
+            if fire_ckpt:
                 if is_main:
                     compat.save_net(
                         os.path.join(ckpt_output_dir, "ckpt_iter_{:07d}.net".format(iteration)),
@@ -467,22 +479,27 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
                     )
                 last_ckpt_iteration = iteration
 
-        if is_main or zero:
+        # epoch boundary: state.step is exactly (epoch+1)*steps_per_epoch,
+        # so restore's epoch bookkeeping is exact. Orbax saves are
+        # collective in a multi-host run (train/checkpoint.py:64) — every
+        # process must enter them, not just rank 0; the msgpack file is
+        # written by rank 0 alone. The --zero host gather is likewise
+        # collective, so every rank computes host_state even when only
+        # rank 0 writes the msgpack file. When the full state is gathered
+        # anyway, the .net snapshot reuses its params instead of running a
+        # second all-gather (conditions stay rank-symmetric).
+        host_state = None
+        if manager is not None and (is_main or manager.backend == "orbax" or zero):
+            host_state = to_host(state)
+        if host_state is not None:
+            host_params = host_state.params
+        elif is_main or zero:
             host_params = to_host(state.params)
         if is_main:
             logging.info("Saving snapshot of the network to %s." % model_path)
             compat.save_net(model_path, host_params, model)
-        if manager is not None and (is_main or manager.backend == "orbax" or zero):
-            # epoch boundary: state.step is exactly (epoch+1)*steps_per_epoch,
-            # so restore's epoch bookkeeping is exact. Orbax saves are
-            # collective in a multi-host run (train/checkpoint.py:64) — every
-            # process must enter them, not just rank 0; the msgpack file is
-            # written by rank 0 alone. The --zero host gather is likewise
-            # collective, so every rank computes host_state even when only
-            # rank 0 writes the msgpack file.
-            host_state = to_host(state)
-            if is_main or manager.backend == "orbax":
-                manager.save(host_state)
+        if host_state is not None and (is_main or manager.backend == "orbax"):
+            manager.save(host_state)
 
     logging.info("Done without errors.")
     if manager is not None:

@@ -94,12 +94,15 @@ def finetune_output_name(
     tiny: bool = False,
     network_in: Optional[str] = None,
     debug: bool = False,
+    e2e: bool = False,
     bf16: bool = False,
 ) -> str:
     """`get_output_path` grammar of `finetune_decoder_single_task.py:159-221`.
 
-    `bf16` extends the grammar like `train_output_name` (framework
-    extension)."""
+    `e2e` and `bf16` extend the grammar like `train_output_name` (framework
+    extensions); without the `-e2e` token a proxy finetune and an e2e finetune
+    of the same config would collide in one output directory (and auto_resume
+    would happily resume one from the other)."""
     name = f"{scene}-{task}"
     name += "-decoder_" + "_".join(encoders)
     if reuse_coord_encoder:
@@ -113,6 +116,8 @@ def finetune_output_name(
     if grayscale:
         name += "-gray"
     name += "-no_unc" if uncertainty is None else f"-unc-{uncertainty}"
+    if e2e:
+        name += "-e2e"
     if bf16:
         name += "-bf16"
     if fullsize:

@@ -44,9 +44,11 @@ class GroupNormFused(nn.Module):
     """GroupNorm with fp32 statistics and optional fused ReLU.
 
     Parameter layout ('scale'/'bias') matches flax.linen.GroupNorm, so the
-    checkpoint key grammar is unchanged; compute goes through the Pallas
-    single-pass kernel when the block fits VMEM (crossloc_tpu/ops), with a
-    pure-jnp fallback otherwise.
+    checkpoint key grammar is unchanged. Compute is the pure-jnp path (XLA
+    fuses it); the Pallas single-pass kernel in crossloc_tpu/ops is OPT-IN
+    (`ops.pallas_groupnorm.enable_pallas`) and measured 2.5x SLOWER than
+    XLA's reduce on TPU (BENCH_NOTES) — it is kept as an experiment record,
+    not the live path.
     """
 
     num_groups: int

@@ -103,8 +103,19 @@ def shard_batch(mesh: Mesh, tree, shard_spatial: bool = False):
     """Device-put a pytree of batch arrays with batch (and optionally
     height) sharding; scalar leaves replicate. On a mesh with a "model"
     axis the batch N dim spans ("data", "model") so no mesh axis is left
-    unspanned by the data (required — see the module docstring)."""
+    unspanned by the data (required — see the module docstring). A
+    "spatial" axis of size > 1 likewise must be spanned: shard_spatial is
+    mandatory there, otherwise the layout lands in the same jax 0.9.0
+    conv-grad miscompile class `make_mesh` guards against."""
     shard_model = "model" in mesh.axis_names
+    if not shard_spatial and dict(mesh.shape).get("spatial", 1) > 1:
+        raise ValueError(
+            "shard_batch on a mesh with a spatial axis of size > 1 requires "
+            "shard_spatial=True: leaving the 'spatial' axis unspanned by "
+            "both conv operands is the jax 0.9.0 XLA SPMD conv-grad "
+            "miscompile class (see parallel/mesh.py docstring and "
+            "tools/xla_convgrad_repro.py)"
+        )
 
     def put(x):
         if np.ndim(x) == 0:

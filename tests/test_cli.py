@@ -225,14 +225,20 @@ class TestTestCLI:
             "--image_height", str(IMG_H),
             "--batch_size", "2",
         ]
+        # JSON floats coerce onto int fields (they feed trace-time static
+        # shapes — 64.0 must become 64, not fail deep inside jit; advisor r4)
         test_cli.main(args + ["--ransac_cfg",
-                              '{"refine_top_k": 2, "eval_selection": "hard"}'])
+                              '{"refine_top_k": 2.0, "eval_selection": "hard"}'])
         assert seen and all(
-            c.refine_top_k == 2 and c.eval_selection == "hard" for c in seen
+            c.refine_top_k == 2 and type(c.refine_top_k) is int
+            and c.eval_selection == "hard" for c in seen
         ), f"cfgs: {seen}"
         # unknown fields fail fast instead of being silently dropped
         with pytest.raises(ValueError, match="unknown RansacConfig"):
             test_cli.main(args + ["--ransac_cfg", '{"no_such_field": 1}'])
+        # non-integral floats on int fields fail fast with a clear message
+        with pytest.raises(ValueError, match="expected int"):
+            test_cli.main(args + ["--ransac_cfg", '{"refine_top_k": 2.5}'])
 
     def test_select_ckpt(self, workspace, trained_coord, monkeypatch):
         # selection runs over ckpt_iter_* results (like the reference's

@@ -229,6 +229,81 @@ class TestShardingEquivalence:
         with pytest.raises(ValueError, match="spatial and model"):
             parallel.make_mesh(jax.devices(), data=2, spatial=2, model=2)
 
+    def test_shard_batch_refuses_unspanned_spatial_axis(self, rng):
+        """shard_batch on a spatial>1 mesh without shard_spatial leaves the
+        'spatial' axis spanned by neither conv operand — the same jax-0.9.0
+        miscompile class — and must refuse (advisor r4)."""
+        from crossloc_tpu import parallel
+
+        mesh = parallel.make_mesh(jax.devices(), data=4, spatial=2)
+        batch = synth_batch(rng, B=8)
+        with pytest.raises(ValueError, match="shard_spatial=True"):
+            parallel.shard_batch(mesh, batch)
+        # with the span it goes through
+        parallel.shard_batch(mesh, batch, shard_spatial=True)
+
+    def test_xla_convgrad_miscompile_canary(self):
+        """Self-auditing version pin for the make_mesh spatial x model guard.
+
+        On jax 0.9.0 the distilled repro (tools/xla_convgrad_repro.py: a
+        single NHWC conv on a ("data","spatial","model") mesh with the
+        input sharded ("data","spatial") and the kernel replicated — the
+        "model" axis spanned by NEITHER operand) must mis-scale the kernel
+        gradient by the unused axis size (2x here). If it stops reproducing
+        on 0.9.0, or jax gets upgraded, this test fails with instructions:
+        the guard in parallel/mesh.py (and shard_batch's span-every-axis
+        workaround) must be re-evaluated, not silently trusted.
+        """
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = np.asarray(jax.devices())
+        if devs.size < 8:
+            pytest.skip("needs the 8-device virtual CPU mesh")
+        mesh3 = Mesh(devs[:8].reshape(2, 2, 2), ("data", "spatial", "model"))
+        gen = np.random.default_rng(0)
+        x = jnp.asarray(gen.normal(size=(4, 16, 16, 4)), jnp.float32)
+        k = jnp.asarray(gen.normal(size=(3, 3, 4, 32)) * 0.1, jnp.float32)
+
+        def loss(kk, xx):
+            y = jax.lax.conv_general_dilated(
+                xx, kk, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.mean(jnp.square(y))
+
+        g_ref = np.asarray(jax.jit(jax.grad(loss))(k, x)).ravel()
+        with mesh3:
+            xs = jax.device_put(x, NamedSharding(mesh3, P("data", "spatial")))
+            ks = jax.device_put(k, NamedSharding(mesh3, P()))
+            g_sh = np.asarray(jax.jit(jax.grad(loss))(ks, xs)).ravel()
+        m = np.abs(g_ref) > 1e-8
+        ratio = float(np.median(g_sh[m] / g_ref[m]))
+        misbehaves = abs(ratio - 1.0) > 1e-3
+
+        if jax.__version__ == "0.9.0":
+            assert misbehaves, (
+                f"jax 0.9.0 conv-grad repro no longer reproduces (grad ratio "
+                f"{ratio:.4f}x) — re-run tools/xla_convgrad_repro.py and "
+                f"re-evaluate the make_mesh spatial x model guard "
+                f"(parallel/mesh.py)"
+            )
+            assert abs(ratio - 2.0) < 0.05, (
+                f"repro misbehaves differently than recorded (grad ratio "
+                f"{ratio:.4f}x, expected ~2x = the unspanned axis size); "
+                f"update parallel/mesh.py's docstring and this pin"
+            )
+        else:
+            pytest.fail(
+                f"jax upgraded to {jax.__version__}: the spatial x model "
+                f"guard was pinned against 0.9.0. On THIS version the repro "
+                f"grad ratio is {ratio:.4f}x ({'still WRONG — keep the guard'
+                if misbehaves else 'correct — the guard may be liftable'}). "
+                f"Re-run tools/xla_convgrad_repro.py (all six arms), then "
+                f"either lift the guard in parallel/mesh.py::make_mesh and "
+                f"shard_batch's span-every-axis requirement, or keep them "
+                f"and update this test's version pin."
+            )
+
     def test_fsdp_update_preserves_model_sharding(self, rng):
         """After an Adam step on shard_params state, every sharded leaf must
         still carry the "model" axis in its sharding spec (no silent

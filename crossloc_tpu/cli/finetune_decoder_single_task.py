@@ -81,11 +81,14 @@ def main(argv=None):
     mean = get_label_mean(opt.scene, opt.task)
     import jax.numpy as jnp
 
+    s2d_mode = getattr(opt, "stem_s2d", "auto")
     model = common.build_network(
         opt.scene, opt.task, opt.tiny, opt.grayscale, opt.uncertainty, opt.fullsize,
         mean, num_mlr=num_mlr,
         num_unfrozen_encoder=1 if opt.unfreeze_coord_encoder else 0,
         dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else None,
+        stem_s2d=s2d_mode == "on" or (
+            s2d_mode == "auto" and jax.default_backend() == "tpu"),
     )
     logging.info("%d network weights to load, flag_unfreeze_coord_encoder: %s",
                  num_mlr, opt.unfreeze_coord_encoder)

@@ -87,6 +87,14 @@ def config_parser(description="Initialize a scene coordinate regression network.
                              "params/GroupNorm statistics/model outputs in "
                              "f32 (framework extension; adds a '-bf16' naming "
                              "token; ~MXU-rate speedup on TPU)")
+    parser.add_argument("--stem_s2d", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="space-to-depth stems (exact re-expression of "
+                             "the strided stem convs, models/layers.py::"
+                             "stem_s2d_apply; ~3-4%% faster end-to-end on "
+                             "TPU). 'auto' = on iff running on TPU; weights "
+                             "are unchanged, so checkpoints stay "
+                             "interchangeable either way")
     parser.add_argument("--ckpt_backend", type=str, default="none",
                         choices=["none", "msgpack", "orbax"],
                         help="full-state checkpointing beside each .net "
@@ -171,10 +179,15 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
     steps_per_epoch = len(loader)
 
     if model is None:
+        s2d_mode = getattr(opt, "stem_s2d", "auto")
+        use_s2d = s2d_mode == "on" or (
+            s2d_mode == "auto" and jax.default_backend() == "tpu"
+        )
         model = common.build_network(
             opt.scene, opt.task, opt.tiny, opt.grayscale, opt.uncertainty,
             opt.fullsize, mean,
             dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else None,
+            stem_s2d=use_s2d,
         )
     tx = make_optimizer(opt.learningrate, steps_per_epoch, opt.no_lr_scheduling)
 

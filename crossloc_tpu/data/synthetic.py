@@ -16,6 +16,59 @@ from .. import geometry as geo
 import jax.numpy as jnp
 
 
+# The plane world is centered on the reference's hard-coded urbanscape
+# coordinate mean ([-29.34, 184.17, 91.96], `utils/learning.py:84-174` /
+# data/means.py): the train CLI initializes the decoder's output offset from
+# that constant, so a scene living elsewhere would start with a ~hundreds-of-
+# units output bias that Adam (per-param step ~ lr) cannot traverse in a
+# short run.
+_PLANE_Z = 91.96
+_PLANE_CX, _PLANE_CY = -29.34, 184.17
+_SEM_IDS = np.array([0, 1, 2, 3, 6, 9, 17], np.int64)
+
+
+def _plane_texture(x, y):
+    """Deterministic smooth RGB texture over the world plane.
+
+    Per-channel sinusoid mixtures: the lowest frequency component is
+    non-repeating over the scene footprint (appearance encodes absolute
+    position), higher components add local detail. This is what makes the
+    "plane" scene LEARNABLE: a conv net can regress pixel -> world
+    coordinate from appearance alone and generalize to unseen poses —
+    unlike the "noise" scene, where learning is pure memorization.
+    """
+    x = x - _PLANE_CX
+    y = y - _PLANE_CY
+
+    def mix(ramp, waves):
+        v = 0.5 + 0.3 * ramp / 240.0
+        v = v + sum(w * np.sin(fx * x + fy * y + p) for fx, fy, p, w in waves)
+        return np.clip(v, 0.0, 1.0).astype(np.float32)
+
+    # per-channel linear ramps give an unambiguous global position signal;
+    # two sinusoid octaves per channel add local detail the conv stack can
+    # sharpen the estimate with
+    r = mix(x, [(0.031, -0.017, 1.3, 0.1), (0.11, 0.07, 0.5, 0.08),
+                (0.23, -0.19, 2.1, 0.06)])
+    g = mix(y, [(0.019, 0.027, 2.9, 0.1), (-0.083, 0.099, 1.9, 0.08),
+                (0.17, 0.29, 0.2, 0.06)])
+    b = mix(0.7 * (x - y), [(-0.029, 0.013, 0.4, 0.1),
+                            (0.093, 0.061, 2.6, 0.08),
+                            (-0.27, 0.15, 1.1, 0.06)])
+    return np.stack([r, g, b], axis=-1)
+
+
+def _plane_raycast(R, t, K, us, vs):
+    """Intersect camera rays through pixel centers (us, vs) with the world
+    plane z = _PLANE_Z. Returns (world [N, 3], zdepth [N])."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    dirs = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us)], axis=-1)
+    rd = dirs @ R.T
+    z = (_PLANE_Z - t[2]) / rd[..., 2]
+    world = t + z[..., None] * rd
+    return world.astype(np.float32), z.astype(np.float32)
+
+
 def synth_sample(
     rng: np.random.Generator,
     img_h: int = 480,
@@ -23,13 +76,25 @@ def synth_sample(
     focal: float = 480.0,
     subsample: int = 8,
     scene_offset=(0.0, 0.0, 0.0),
+    scene: str = "noise",
 ):
     """One synthetic frame: exact geometry from a random cam-to-world pose.
 
     Returns dict with image [H, W, 3] in [0, 1], pose [4, 4], focal, and
     dense labels: coord [h, w, 3], depth [h, w, 1], normal [h, w, 3] (unit,
     world frame), semantics [H, W] raw ids.
+
+    scene="noise" (default): random per-cell depth, random-texture image —
+    exact GT for solver/loss oracles, but the image carries no learnable
+    signal. scene="plane": a fixed textured world plane (z = 200) rendered
+    from a random pose — image content is a deterministic function of
+    world geometry, so a network trained on some poses generalizes to
+    held-out poses (the TPU convergence run's dataset, VERDICT r4 item 1).
     """
+    if scene == "plane":
+        return _synth_plane_sample(rng, img_h, img_w, focal, subsample)
+    if scene != "noise":
+        raise ValueError(f"unknown scene kind {scene!r}")
     h, w = img_h // subsample, img_w // subsample
     rvec = rng.normal(size=3) * 0.5
     R = np.asarray(geo.rodrigues(jnp.asarray(rvec)))
@@ -61,6 +126,47 @@ def synth_sample(
     }
 
 
+def _synth_plane_sample(rng, img_h, img_w, focal, subsample):
+    """Render one frame of the fixed plane world from a random pose."""
+    rvec = rng.normal(size=3) * 0.1
+    R = np.asarray(geo.rodrigues(jnp.asarray(rvec)))
+    t = np.array([_PLANE_CX + rng.uniform(-30, 30),
+                  _PLANE_CY + rng.uniform(-30, 30),
+                  _PLANE_Z - rng.uniform(70, 110)], np.float64)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = R
+    pose[:3, 3] = t
+
+    K = np.asarray(geo.intrinsics(focal, img_w, img_h), np.float64)
+
+    # full-resolution image from the world texture
+    uu, vv = np.meshgrid(np.arange(img_w) + 0.5, np.arange(img_h) + 0.5)
+    world_full, _ = _plane_raycast(R, t, K, uu, vv)
+    image = _plane_texture(world_full[..., 0], world_full[..., 1])
+
+    # labels on the subsampled prediction grid (same centers as pixel_grid)
+    h, w = img_h // subsample, img_w // subsample
+    grid = np.asarray(geo.pixel_grid(h, w, subsample), np.float64)
+    world, zdepth = _plane_raycast(R, t, K, grid[..., 0], grid[..., 1])
+
+    normal_w = np.zeros((h, w, 3), np.float32)
+    normal_w[..., 2] = -1.0  # plane normal faces the camera (-z world)
+
+    sem_cell = (np.floor(world_full[..., 0] / 40.0)
+                + np.floor(world_full[..., 1] / 40.0)).astype(np.int64)
+    sem_raw = _SEM_IDS[np.abs(sem_cell) % len(_SEM_IDS)]
+
+    return {
+        "image": image,
+        "pose": pose,
+        "focal": float(focal),
+        "coord": world.reshape(h, w, 3),
+        "depth": zdepth.reshape(h, w, 1),
+        "normal": normal_w,
+        "semantics": sem_raw,
+    }
+
+
 def write_fake_dataset(
     root: str,
     n: int = 4,
@@ -69,6 +175,7 @@ def write_fake_dataset(
     focal: float = 120.0,
     seed: int = 0,
     fullsize: bool = False,
+    scene: str = "noise",
 ):
     """Write a directory tree following the reference dataset contract
     (rgb/ poses/ calibration/ init/ depth/ normal/ semantics/ eye/).
@@ -87,7 +194,7 @@ def write_fake_dataset(
     focals = list(np.atleast_1d(np.asarray(focal, np.float64)))
     for i in range(n):
         s = synth_sample(rng, img_h, img_w, float(focals[i % len(focals)]),
-                         subsample=1 if fullsize else 8)
+                         subsample=1 if fullsize else 8, scene=scene)
         name = f"frame_{i:05d}"
         Image.fromarray((s["image"] * 255).astype(np.uint8)).save(
             os.path.join(root, "rgb", name + ".png")

@@ -122,6 +122,57 @@ bool decode_any(const char* path, Image* out) {
   return decode_png(path, out) || decode_jpeg(path, out);
 }
 
+// Header-only size reads: cl_image_dims is called before EVERY image load
+// (the wrapper needs the source dims to preserve aspect ratio), so reading
+// just the IHDR / SOF marker instead of decoding the full bitstream halves
+// the per-image cost of the hot loader path.
+bool png_dims(const char* path, int* h, int* w) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  png_byte header[8];
+  if (fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(fp);
+    return false;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+  *w = (int)png_get_image_width(png, info);
+  *h = (int)png_get_image_height(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+  return true;
+}
+
+bool jpeg_dims(const char* path, int* h, int* w) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  *w = (int)cinfo.image_width;
+  *h = (int)cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  fclose(fp);
+  return true;
+}
+
 // Separable triangle-filter resampling with half-pixel centers and
 // antialiasing on downscale — the algorithm PIL's BILINEAR resize uses,
 // which is what the reference host pipeline runs (torchvision Resize ->
@@ -213,12 +264,13 @@ void resize_bilinear_f32(const Image& img, int th, int tw, float* out) {
 extern "C" {
 
 // Returns 0 on success and fills (*h, *w) with the stored image size.
+// Header-only: does NOT decode the bitstream.
 int cl_image_dims(const char* path, int* h, int* w) {
-  Image img;
-  if (!decode_any(path, &img)) return -1;
-  *h = img.h;
-  *w = img.w;
-  return 0;
+  std::string p(path);
+  if (has_suffix(p, ".png")) return png_dims(path, h, w) ? 0 : -1;
+  if (has_suffix(p, ".jpg") || has_suffix(p, ".jpeg"))
+    return jpeg_dims(path, h, w) ? 0 : -1;
+  return (png_dims(path, h, w) || jpeg_dims(path, h, w)) ? 0 : -1;
 }
 
 // Decode + resize to exactly (th, tw); out must hold th*tw*3 floats.

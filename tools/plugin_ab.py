@@ -49,6 +49,17 @@ def parse_args(argv=None):
                    help="only run our solver (reuse plugin numbers elsewhere)")
     p.add_argument("--noise", type=float, default=1.0)
     p.add_argument("--outliers", type=float, default=0.2)
+    p.add_argument("--pred_source", choices=["noise", "net"], default="noise",
+                   help="'noise': iid 1 m noise + gross outliers on GT coords "
+                        "(the PARITY.md distribution). 'net': train a tiny "
+                        "coord net on the learnable plane scene (CPU) and "
+                        "feed ITS predictions on fresh frames to both solvers "
+                        "— spatially-correlated structured errors, the class "
+                        "real networks produce (VERDICT r4 item 8; anchor: "
+                        "utils/evaluation.py:135-190 consumes real network "
+                        "predictions, not noise models)")
+    p.add_argument("--net_steps", type=int, default=900,
+                   help="tiny-net training steps for --pred_source net")
     p.add_argument("--json", type=str, default=None, help="dump results to file")
     p.add_argument("--cfg", type=str, default="{}",
                    help='RansacConfig overrides as JSON, e.g. \'{"polish_iters":0}\'')
@@ -56,6 +67,56 @@ def parse_args(argv=None):
 
 
 IMG_H, IMG_W, FOCAL, HS, WS = 480, 720, 500.0, 60, 90
+
+# --pred_source net runs at the net's training resolution (the tiny net must
+# train on CPU in minutes; solver comparison stays apples-to-apples because
+# both solvers consume IDENTICAL inputs)
+NET_DIMS = (96, 144, 120.0, 12, 18)
+
+_NET = {}
+
+
+def make_net_frames(rng, n, steps):
+    """Predictions of a tiny coord net (trained ONCE on the learnable plane
+    scene, data/synthetic.py) on n FRESH plane-scene frames: spatially
+    correlated, structured errors — the class real networks produce."""
+    import jax.numpy as jnp
+
+    from crossloc_tpu import data, models, train
+    from crossloc_tpu.data.augment import normalize_images
+
+    if "fwd" not in _NET:
+        trng = np.random.default_rng(1234)
+        tr = [data.synth_sample(trng, IMG_H, IMG_W, FOCAL, scene="plane")
+              for _ in range(64)]
+        tri = np.asarray(normalize_images(jnp.asarray(
+            np.stack([s["image"] for s in tr]))))
+        trc = np.stack([s["coord"] for s in tr])
+        trp = np.stack([s["pose"] for s in tr])
+        model = models.build_network(
+            "coord", tiny=True, mean=list(np.mean(trc, axis=(0, 1, 2))))
+        tx = train.make_optimizer(2e-3, no_lr_scheduling=True)
+        state = train.create_train_state(model, tx, jnp.zeros((4, IMG_H, IMG_W, 3)))
+        step = jax.jit(train.make_train_step(model, tx, "coord"))
+        order = np.random.default_rng(4321)
+        for _ in range(steps):
+            idx = order.choice(len(tr), size=4, replace=False)
+            b = train.TrainBatch(jnp.asarray(tri[idx]), jnp.asarray(trp[idx]),
+                                 jnp.asarray(trc[idx]), jnp.float32(FOCAL))
+            state, m = step(state, b)
+        params = state.params
+        _NET["fwd"] = jax.jit(lambda x: model.apply({"params": params}, x)[..., :3])
+        print(f"# net trained: {steps} steps, final proxy loss {float(m['loss']):.2f}")
+
+    frames = [data.synth_sample(rng, IMG_H, IMG_W, FOCAL, scene="plane")
+              for _ in range(n)]
+    imgs = np.stack([s["image"] for s in frames])
+    gts = np.stack([np.asarray(s["pose"], np.float64) for s in frames])
+    preds = np.asarray(_NET["fwd"](normalize_images(jnp.asarray(imgs)))).astype(np.float32)
+    err = np.linalg.norm(preds - np.stack([s["coord"] for s in frames]), axis=-1)
+    print(f"# net coord error on these frames: mean {err.mean():.2f}, "
+          f"median {np.median(err):.2f} units")
+    return preds, gts
 
 
 def make_frames(geo, rng, n, noise, outlier):
@@ -133,6 +194,8 @@ def fmt_ci(trip):
 
 
 def main(argv=None):
+    global IMG_H, IMG_W, FOCAL, HS, WS
+
     args = parse_args(argv)
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -141,8 +204,12 @@ def main(argv=None):
     from crossloc_tpu import geometry as geo
     from crossloc_tpu import ransac
 
+    if args.pred_source == "net":
+        IMG_H, IMG_W, FOCAL, HS, WS = NET_DIMS
+
     cfg = ransac.RansacConfig(**json.loads(args.cfg))
     print(f"# plugin A/B: {args.frames} frames x {args.seeds} seeds, "
+          f"pred_source={args.pred_source}, "
           f"noise={args.noise} outliers={args.outliers}, ours on {args.platform}")
     print(f"# cfg: {cfg}")
 
@@ -161,7 +228,10 @@ def main(argv=None):
     for s in range(args.seeds):
         seed = 11 + 97 * s
         rng = np.random.default_rng(seed)
-        coords, gts = make_frames(geo, rng, args.frames, args.noise, args.outliers)
+        if args.pred_source == "net":
+            coords, gts = make_net_frames(rng, args.frames, args.net_steps)
+        else:
+            coords, gts = make_frames(geo, rng, args.frames, args.noise, args.outliers)
 
         if dsacstar_mod is not None:
             t0 = time.time()
@@ -189,7 +259,7 @@ def main(argv=None):
     our_r = np.concatenate(all_our_r)
     out = {
         "frames": args.frames, "seeds": args.seeds, "platform": args.platform,
-        "n_pooled": int(our_t.size),
+        "pred_source": args.pred_source, "n_pooled": int(our_t.size),
         "ours": {"t": bootstrap_median_ci(our_t), "r": bootstrap_median_ci(our_r)},
     }
     print(f"\n== pooled over {our_t.size} frames ==")

@@ -38,9 +38,20 @@ def parse_args(argv=None):
     p.add_argument("--pre", type=int, default=600, help="shared pretrain steps")
     p.add_argument("--cont", type=int, default=300, help="per-arm continue steps")
     p.add_argument("--lr_cont", type=float, default=3e-4,
-                   help="continue-phase LR (both arms; DSAC* drops LR for e2e)")
+                   help="continue-phase LR for the proxy arm")
+    p.add_argument("--lr_e2e", type=float, default=None,
+                   help="continue-phase LR for the e2e arm (default: same as "
+                        "--lr_cont). DSAC* runs its e2e phase at a far lower "
+                        "LR than supervised pretraining (1e-6 vs 1e-4, "
+                        "dsacstar train_e2e defaults) because the expected-"
+                        "pose-loss gradient through RANSAC is high-variance; "
+                        "measured here: at 3e-4 the e2e arm DIVERGES "
+                        "(BENCH_NOTES round 5)")
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                   help="tpu = run on the real chip (sequence it alone; the "
+                        "dsac step is ~ms there vs ~9 s/step on this CPU)")
     p.add_argument("--json", type=str, default=None)
     return p.parse_args(argv)
 
@@ -67,7 +78,8 @@ def corrupt_labels(labels, rng):
 
 def main(argv=None):
     args = parse_args(argv)
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from crossloc_tpu import data, models, train, ransac
     from crossloc_tpu.data.augment import normalize_images
@@ -133,8 +145,9 @@ def main(argv=None):
         stA, _ = stepA(stA, b)
     tA, rA = evaluate(stA.params, "proxy-continue")
 
-    # ---- arm B: continue with the expected pose loss (same data order/LR)
-    txB = train.make_optimizer(args.lr_cont, no_lr_scheduling=True)
+    # ---- arm B: continue with the expected pose loss (same data order)
+    lr_e2e = args.lr_e2e if args.lr_e2e is not None else args.lr_cont
+    txB = train.make_optimizer(lr_e2e, no_lr_scheduling=True)
     stB = train.TrainState(shared_params, txB.init(shared_params), jnp.zeros((), jnp.int32))
     stepB = jax.jit(make_dsac_train_step(model, txB))
     key = jax.random.PRNGKey(5)
@@ -143,8 +156,9 @@ def main(argv=None):
         stB, mB = stepB(stB, b, k)
     tB, rB = evaluate(stB.params, "e2e-continue  ")
 
-    out = {"metric": "e2e_ab", "labels": args.labels,
+    out = {"metric": "e2e_ab", "labels": args.labels, "platform": args.platform,
            "pre": args.pre, "cont": args.cont, "lr_cont": args.lr_cont,
+           "lr_e2e": lr_e2e,
            "init": {"t": t0, "r": r0},
            "proxy": {"t": tA, "r": rA}, "e2e": {"t": tB, "r": rB},
            "t_ratio_e2e_over_proxy": round(tB / max(tA, 1e-9), 4)}

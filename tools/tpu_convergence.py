@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--frames", type=int, default=None, help="train frames")
     p.add_argument("--val_frames", type=int, default=16)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override --learningrate (the reference's 2e-4 is "
+                        "tuned for ~900k-iteration real-data runs; a "
+                        "96-frame synthetic scene needs a higher LR to "
+                        "converge within a few thousand steps)")
     p.add_argument("--final_t_max", type=float, default=4.0,
                    help="required final held-out median translation error "
                         "(world units; scene footprint is ~300 units)")
@@ -103,6 +108,9 @@ def main(argv=None):
              f"--image_height {img_h}")
     if not smoke:
         extra += " --bf16"
+    if args.lr is not None:
+        # appended AFTER the harness's --learningrate 2e-4; argparse last-wins
+        extra += f" --learningrate {args.lr}"
     env_tr = dict(env, EXTRA_ARGS=extra)
     depth = "TINY" if smoke else "FULL"
     run(["bash", os.path.join(REPO, "script_clean_training", "encoder_pretrain.sh"),

@@ -49,6 +49,13 @@ def parse_args(argv=None):
                         "tuned for ~900k-iteration real-data runs; a "
                         "96-frame synthetic scene needs a higher LR to "
                         "converge within a few thousand steps)")
+    p.add_argument("--const_lr", action="store_true",
+                   help="disable the MultiStepLR([50,100]x0.5) schedule "
+                        "(passes --no_lr_scheduling). The schedule is tuned "
+                        "for the reference's 150-epoch real-data runs; on "
+                        "the short synthetic run it halves the LR twice "
+                        "exactly when coord error is still far from the "
+                        "RANSAC inlier basin (run 2 evidence, BENCH_NOTES)")
     p.add_argument("--final_t_max", type=float, default=4.0,
                    help="required final held-out median translation error "
                         "(world units; scene footprint is ~300 units)")
@@ -111,6 +118,8 @@ def main(argv=None):
     if args.lr is not None:
         # appended AFTER the harness's --learningrate 2e-4; argparse last-wins
         extra += f" --learningrate {args.lr}"
+    if args.const_lr:
+        extra += " --no_lr_scheduling"
     env_tr = dict(env, EXTRA_ARGS=extra)
     depth = "TINY" if smoke else "FULL"
     run(["bash", os.path.join(REPO, "script_clean_training", "encoder_pretrain.sh"),

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import compat
-from ..data import AugmentConfig, augment_batch
+from ..data import AugmentConfig, augment_batch, images_from_wire, images_to_wire
 from ..losses import CoordLossConfig, DepthLossConfig, NormalLossConfig, get_nodata_value
 from ..train import TrainBatch, TrainState, create_train_state, make_optimizer, make_train_step
 from ..utils import config_log, read_training_log
@@ -103,6 +103,19 @@ def config_parser(description="Initialize a scene coordinate regression network.
                              "extension; the reference persists weights only "
                              "and resets optimizer state on resume, "
                              "utils/io.py:114-208)")
+    parser.add_argument("--snapshot_every_epochs", type=int, default=1,
+                        help="write the per-epoch model.net snapshot every N "
+                             "epochs instead of every epoch (framework "
+                             "extension; default 1 = exact reference "
+                             "cadence). Each snapshot pulls the full "
+                             "parameter set device->host (~120 MB for the "
+                             "FULL net), which on a bandwidth-constrained "
+                             "host link costs more wall time than the "
+                             "epoch's compute; the final epoch always "
+                             "writes. ckpt_iter_*.net and full-state "
+                             "checkpoints keep their own cadence. N>1 "
+                             "coarsens --auto_resume granularity to the "
+                             "last written snapshot")
     return parser
 
 
@@ -303,6 +316,9 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
 
     @partial(jax.jit, donate_argnums=donate)
     def fused_step(state: TrainState, images, labels, poses, focal, key):
+        # images arrive in the uint8 wire format (4x less host->device
+        # traffic, exact round trip — data/pipeline.py::images_to_wire)
+        images = images_from_wire(images)
         images, labels, poses, focal, pp_shift = augment_batch(
             images, labels, poses, focal, key, aug_cfg, semantics=opt.task == "semantics"
         )
@@ -329,6 +345,7 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
 
         @partial(jax.jit, donate_argnums=donate)
         def fused_e2e_step(state: TrainState, images, labels, poses, focal, key):
+            images = images_from_wire(images)
             k_aug, k_solver = jax.random.split(key)
             # same device-side augmentation; the crop window's principal-
             # point shift (up to ~(W-1)/2·(s-1) ≈ 120 px at s=1.5) rides
@@ -412,6 +429,13 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
     else:
         iteration, start_epoch, save_counter, epoch_de_facto, last_ckpt_iteration = 0, 0, 0, 0, 0
 
+    snap_every = max(1, int(getattr(opt, "snapshot_every_epochs", 1) or 1))
+    if snap_every > 1 and opt.auto_resume:
+        logging.warning(
+            "--snapshot_every_epochs %d with --auto_resume: a resume can "
+            "only restart from the last WRITTEN snapshot (up to %d epochs "
+            "behind the log)", snap_every, snap_every - 1)
+
     base_key = jax.random.PRNGKey(2021)
     for epoch in range(opt.epochs):
         if epoch < start_epoch:
@@ -426,7 +450,10 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         step_fn = fused_step
         if fused_e2e_step is not None and epoch >= opt.e2e_warmup_epochs:
             step_fn = fused_e2e_step
-        iterator = loader
+        # uint8 wire format: pack images on the producer side so the
+        # host->device link moves 1 byte/channel instead of 4 (exact —
+        # the fused steps undo it on device; images_to_wire docstring)
+        iterator = map(images_to_wire, iter(loader))
         if mesh is None:
             # overlap host->device transfer with device compute (single-
             # device path only: mesh paths re-place arrays with shardings)
@@ -434,7 +461,7 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
 
             pf_keys = ("image", "pose") + (
                 () if opt.task == "semantics" else (opt.task,))
-            iterator = device_prefetch(iter(loader), keys=pf_keys)
+            iterator = device_prefetch(iterator, keys=pf_keys)
         for batch in iterator:
             start_time = time.time()
             labels = select_labels(batch, opt.task)
@@ -475,10 +502,16 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
                 iteration > last_ckpt_iteration + save_period * len(trainset)
                 or last_ckpt_iteration == 0
             )
-            if (fire_snapshot or fire_ckpt) and (is_main or zero):
+            # --snapshot_every_epochs N>1 skips the WRITE (and with it the
+            # expensive device->host parameter pull) on de-facto epochs that
+            # are not multiples of N; the fire bookkeeping stays identical
+            # so resume epoch accounting is unchanged. Conditions are
+            # rank-symmetric (epoch_de_facto advances identically everywhere)
+            snap_write = fire_snapshot and (epoch_de_facto + 1) % snap_every == 0
+            if (snap_write or fire_ckpt) and (is_main or zero):
                 host_params = to_host(state.params)
             if fire_snapshot:
-                if is_main:
+                if is_main and snap_write:
                     logging.info("Saving snapshot of the network to %s." % model_path)
                     compat.save_net(model_path, host_params, model)
                 save_counter = iteration + len(trainset)
@@ -504,11 +537,14 @@ def run_training(opt, output_dir, ckpt_output_dir, model=None, init_params=None)
         host_state = None
         if manager is not None and (is_main or manager.backend == "orbax" or zero):
             host_state = to_host(state)
+        # --snapshot_every_epochs: skip the boundary pull+write off-cadence
+        # (final epoch always writes); epoch-based condition is rank-symmetric
+        boundary_write = (epoch + 1) % snap_every == 0 or epoch == opt.epochs - 1
         if host_state is not None:
             host_params = host_state.params
-        elif is_main or zero:
+        elif (is_main or zero) and boundary_write:
             host_params = to_host(state.params)
-        if is_main:
+        if is_main and boundary_write:
             logging.info("Saving snapshot of the network to %s." % model_path)
             compat.save_net(model_path, host_params, model)
         if host_state is not None and (is_main or manager.backend == "orbax"):

@@ -3,6 +3,7 @@ from .augment import (
     AugmentConfig,
     augment_batch,
     color_jitter,
+    images_from_wire,
     normalize_images,
     pp_shift_for_translation,
     rotation_z_pose,
@@ -18,7 +19,7 @@ from .dataset import (
     CamLocItem,
 )
 from .means import get_label_mean
-from .pipeline import Loader, device_prefetch
+from .pipeline import Loader, device_prefetch, images_to_wire
 from .synthetic import synth_sample, write_fake_dataset
 
 __all__ = [
@@ -35,6 +36,8 @@ __all__ = [
     "augment_batch",
     "color_jitter",
     "get_label_mean",
+    "images_from_wire",
+    "images_to_wire",
     "normalize_images",
     "pp_shift_for_translation",
     "rotation_z_pose",

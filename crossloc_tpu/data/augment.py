@@ -64,6 +64,18 @@ def to_grayscale(images):
     return jnp.sum(images * w, axis=-1, keepdims=True)
 
 
+def images_from_wire(images):
+    """Undo the uint8 wire format (`data/pipeline.py::images_to_wire`) on
+    device: `uint8 -> float32 / 255.0` reproduces the host's `array / 255.0`
+    rounding bit-for-bit, so on-grid pixels are unchanged by the packing
+    (see images_to_wire for the native-resize quantization note). float32
+    input passes through untouched (tests and library callers that feed
+    pre-converted images keep their exact semantics)."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def normalize_images(images, grayscale: bool = False):
     """Dataset normalization (`dataloader/dataloader.py:171-201`)."""
     if grayscale:

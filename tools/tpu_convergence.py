@@ -114,7 +114,11 @@ def main(argv=None):
     extra = (f"--epochs {epochs} --batch_size {batch} --datasets_dir {ws}/datasets "
              f"--image_height {img_h}")
     if not smoke:
-        extra += " --bf16"
+        # snapshot cadence 5: the per-epoch model.net pull is ~120 MB of
+        # params device->host; through the ~10 MB/s axon tunnel that is
+        # ~12 s/epoch of pure save overhead (ckpt_iter_* keeps its own
+        # 5-epoch cadence — the sweep's data source is unchanged)
+        extra += " --bf16 --snapshot_every_epochs 5"
     if args.lr is not None:
         # appended AFTER the harness's --learningrate 2e-4; argparse last-wins
         extra += f" --learningrate {args.lr}"
